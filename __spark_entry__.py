@@ -1,38 +1,532 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every SQL-expressible operator from SURVEY.md §2 to a
+DataFrame program over the driver's testdata tables, with a DuckDB
+oracle in ``oracle_sql()``; engine-native operators (bloom/cuckoo seen
+set, phash near-dup, minhash/simhash, crawl supersteps) are rows-only
+entries. Column names are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------- A ops
+
+
+def q_a1_status_counts(spark, sf_dir):
+    """A1 (queue_db.py:266-289): one groupBy replaces four COUNT(*)s."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("status"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_a2_run_status_matrix(spark, sf_dir):
+    """A2 (queue_db.py:671-689): counts per (run, status)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("user_id") % 8).alias("run_bucket"),
+            F.col("event_type").alias("status"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_a7_run_ok(spark, sf_dir):
+    """A7 (api.py:64-67): all-completed check per run bucket."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 8).alias("run_bucket"))
+        .agg(
+            F.sum(F.when(F.col("event_type") != "error", 0).otherwise(1)).alias(
+                "n_bad"
+            )
+        )
+        .withColumn("ok", F.col("n_bad") == 0)
+    )
+
+
+# ------------------------------------------------------------------- J joins
+
+
+def q_j1_politeness_join(spark, sf_dir):
+    """J1 (queue_db.py:395-406): broadcast equi-join + aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_j2_seen_anti_join(spark, sf_dir):
+    """J2 (queue_db.py:324-331): left-anti join — the exact tier of the
+    URL-seen set (customers that never appear in orders)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_j4_latest_by_key(spark, sf_dir):
+    """J4 (queue_db.py:626-668): most-recent row per key (W4 window)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_type"),
+        )
+    )
+
+
+# ------------------------------------------------------------ scheduler ops
+
+
+def q_w1_scheduler_pick(spark, sf_dir):
+    """W1+W2 (queue_db.py:358-466): eligibility filter → one-per-host
+    ranking window → deterministic global top-k batch."""
+    events = _t(spark, sf_dir, "events")
+    eligible = events.filter(F.col("event_type").isin("click", "view"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        eligible.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        first.orderBy("ts", "event_id").limit(50).select("user_id", "event_id")
+    )
+
+
+def q_w3_pool_prelimit(spark, sf_dir):
+    """W3: per-partition candidate-pool pre-limit (the distribution-aware
+    form of the reference's 25x over-fetch, queue_db.py:389-406)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(F.col("user_id") % 4).orderBy("ts", "event_id")
+    return (
+        events.withColumn("bucket", (F.col("user_id") % 4))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("bucket", "event_id")
+    )
+
+
+def q_w2_topk_orders(spark, sf_dir):
+    """O1/W2 (queue_db.py:403-404): top-k without full sort
+    (TakeOrderedAndProject)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_f8_eligibility(spark, sf_dir):
+    """F8 (queue_db.py:400-401): queued OR retryable-error predicate."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "click")
+            | ((F.col("event_type") == "error") & (F.col("value") < 3.0))
+        )
+        .select("event_id", "user_id")
+    )
+
+
+def q_o3_run_pages(spark, sf_dir):
+    """O3 (queue_db.py:692-710): one run's pages ordered by key."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 7)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+# ------------------------------------------------------------- F/C scalar ops
+
+
+def q_f2_f3_url_exclusion(spark, sf_dir):
+    """F2+F3 (links.py:55-80): extension + segment-anchored filters over a
+    deterministic URL column."""
+    from par_scrape_spark.functions.urls import exclude_url_col
+
+    docs = _t(spark, sf_dir, "documents")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/login"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("/feedback"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("/blog/feed"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("/img.png"))
+        .otherwise(F.concat(F.lit("/article/"), F.col("doc_id").cast("string")))
+    )
+    urls = docs.select(
+        "doc_id", F.concat(F.lit("http://h.example"), path).alias("url")
+    )
+    return urls.filter(~exclude_url_col(F.col("url"))).select("doc_id", "url")
+
+
+def q_f13_canonicalize(spark, sf_dir):
+    """F13 (queue_db.py:319): vectorized canonicalization UDF — oracle
+    states the expected canonical string independently."""
+    from par_scrape_spark.functions.urls import canonicalize_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTP://Site.Example:80/Doc/"), F.col("doc_id").cast("string"), F.lit("/")
+    )
+    return docs.select("doc_id", canonicalize_udf(raw).alias("canon"))
+
+
+def q_f12_formula_neutralize(spark, sf_dir):
+    """F12 (scrape_data.py:139-145): CWE-1236 spreadsheet-formula guard."""
+    from par_scrape_spark.functions.urls import neutralize_formula_col
+
+    docs = _t(spark, sf_dir, "documents")
+    cell = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("=SUM(A1:B2)"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("+1234"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("@cmd|calc"))
+        .otherwise(F.lit("safe value"))
+    )
+    return docs.select("doc_id", neutralize_formula_col(cell).alias("cell_out"))
+
+
+def q_c1_content_hash(spark, sf_dir):
+    """C1/C2 (runner.py:531, paths.py:55-56): sha-256 content hash + the
+    8-char path discriminator."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 8).alias("disc"),
+    )
+
+
+def q_f15_truncate(spark, sf_dir):
+    """F15 (queue_db.py:28,617): bounded error message."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.substring("text", 1, 64).alias("msg"))
+
+
+def q_c8_classify_error(spark, sf_dir):
+    """C8 (exceptions.py:44-76): keyword error classification cascade."""
+    from par_scrape_spark.functions.errors import classify_error_col
+
+    docs = _t(spark, sf_dir, "documents")
+    msg = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("request timed out"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("connection refused"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("robots.txt disallowed"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("could not parse html"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("bad url scheme"))
+        .otherwise(F.lit("mystery failure"))
+    )
+    return docs.select("doc_id", classify_error_col(msg).alias("error_type"))
+
+
+def q_c9_backoff(spark, sf_dir):
+    """C9 (queue_db.py:512-537): exponential backoff double-and-cap."""
+    docs = _t(spark, sf_dir, "documents")
+    delay = F.pow(F.lit(2.0), (F.col("doc_id") % 7).cast("double")).cast("int")
+    return docs.select(
+        "doc_id",
+        delay.alias("delay"),
+        F.least(delay * 2, F.lit(30)).alias("backoff"),
+    )
+
+
+# ----------------------------------------------------------- text/dedup ops
+
+
+def q_d_exact_dedup(spark, sf_dir):
+    """Exact dedup over documents: group identical texts, keep first."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_dups")
+    ).select("keeper", "n_dups")
+
+
+def q_t_token_count(spark, sf_dir):
+    """Token counting: whitespace tokenizer, JVM-side split."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+
+
+def q_t_lang_distribution(spark, sf_dir):
+    """Language distribution + average length per language."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n"), F.round(F.avg("n_chars"), 2).alias("avg_chars")
+    )
+
+
+def q_t_quality_score(spark, sf_dir):
+    """Quality scoring: alpha-character ratio (length/punct heuristics)."""
+    docs = _t(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    return docs.select(
+        "doc_id",
+        F.round(
+            alpha / F.greatest(F.length("text"), F.lit(1)).cast("double"), 4
+        ).alias("alpha_ratio"),
+    )
+
+
+def q_s_embed_topk(spark, sf_dir):
+    """Brute-force inner-product top-k over the embeddings table (ANN
+    baseline) — JVM-side zip_with/aggregate, no UDF."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = emb.crossJoin(F.broadcast(qvec)).withColumn(
+        "score",
+        F.round(
+            F.aggregate(
+                F.zip_with("embedding", "qvec", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ),
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", "score")
+    )
+
+
+# -------------------------------------------------- rows-only (engine-native)
+
+
+def q_d_simhash(spark, sf_dir):
+    """SimHash document fingerprints (rows-only: no SQL analogue)."""
+    from par_scrape_spark.functions.text import simhash_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+
+
+def q_d_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (rows-only)."""
+    from par_scrape_spark.functions.text import minhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, text_col="text", id_col="doc_id")
+
+
+def q_t_lang_id(spark, sf_dir):
+    """Heuristic n-gram language ID vs the labeled lang column (rows-only)."""
+    from par_scrape_spark.functions.text import lang_id_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id_udf(F.col("text")).alias("lang_pred"))
+
+
+def q_c11_prune_markdown(spark, sf_dir):
+    """C11 (prune.py:68-145): boilerplate pruning UDF over synthesized
+    markdown (nav link-farm + text body); oracle states the expected
+    pruned output independently."""
+    from par_scrape_spark.functions.prune import prune_markdown_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    md = F.concat(
+        F.lit("# T\n- [a](u)\n- [b](u)\n- [c](u)\n- [d](u)\n"), F.col("text")
+    )
+    prune = prune_markdown_udf()
+    return docs.select("doc_id", prune(md).alias("pruned"))
+
+
+def q_j8_phash_near_dup(spark, sf_dir):
+    """J8: banded-Hamming phash near-dup join over synthetic payload rows
+    (rows-only: engine-native image op)."""
+    from par_scrape_spark.operators.dedup import near_dup_pairs
+    from par_scrape_spark.operators.payload import decode_and_phash, fetch_images
+
+    pages = spark.createDataFrame(
+        [(f"http://site-{i % 8:05d}.example/page/{i // 8}",) for i in range(48)],
+        ["url"],
+    )
+    images = decode_and_phash(fetch_images(pages, "q", 42, 1))
+    return near_dup_pairs(images).select("image_a", "image_b", "hamming")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "a1_status_counts": q_a1_status_counts,
+    "a2_run_status_matrix": q_a2_run_status_matrix,
+    "a7_run_ok": q_a7_run_ok,
+    "j1_politeness_join": q_j1_politeness_join,
+    "j2_seen_anti_join": q_j2_seen_anti_join,
+    "j4_latest_by_key": q_j4_latest_by_key,
+    "w1_scheduler_pick": q_w1_scheduler_pick,
+    "w2_topk_orders": q_w2_topk_orders,
+    "w3_pool_prelimit": q_w3_pool_prelimit,
+    "f8_eligibility": q_f8_eligibility,
+    "o3_run_pages": q_o3_run_pages,
+    "f2_f3_url_exclusion": q_f2_f3_url_exclusion,
+    "f13_canonicalize": q_f13_canonicalize,
+    "f12_formula_neutralize": q_f12_formula_neutralize,
+    "c1_content_hash": q_c1_content_hash,
+    "f15_truncate": q_f15_truncate,
+    "c8_classify_error": q_c8_classify_error,
+    "c9_backoff": q_c9_backoff,
+    "d_exact_dedup": q_d_exact_dedup,
+    "t_token_count": q_t_token_count,
+    "t_lang_distribution": q_t_lang_distribution,
+    "t_quality_score": q_t_quality_score,
+    "s_embed_topk": q_s_embed_topk,
+    "d_simhash": q_d_simhash,
+    "d_minhash_pairs": q_d_minhash_pairs,
+    "t_lang_id": q_t_lang_id,
+    "c11_prune_markdown": q_c11_prune_markdown,
+    "j8_phash_near_dup": q_j8_phash_near_dup,
+}
+
+ORACLES: dict[str, str] = {
+    "a1_status_counts": (
+        "SELECT event_type AS status, count(*) AS n FROM events GROUP BY event_type"
+    ),
+    "a2_run_status_matrix": (
+        "SELECT user_id % 8 AS run_bucket, event_type AS status, count(*) AS n "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "a7_run_ok": (
+        "SELECT user_id % 8 AS run_bucket, "
+        "sum(CASE WHEN event_type != 'error' THEN 0 ELSE 1 END) AS n_bad, "
+        "sum(CASE WHEN event_type != 'error' THEN 0 ELSE 1 END) = 0 AS ok "
+        "FROM events GROUP BY 1"
+    ),
+    "j1_politeness_join": (
+        "SELECT c_mktsegment, count(*) AS n_orders, "
+        "round(sum(o_totalprice), 2) AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+    ),
+    "j2_seen_anti_join": (
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+    "j4_latest_by_key": (
+        "SELECT user_id, event_id AS latest_event_id, event_type AS latest_type "
+        "FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        "WHERE rn = 1"
+    ),
+    "w1_scheduler_pick": (
+        "WITH firsts AS (SELECT user_id, event_id, ts, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events "
+        "WHERE event_type IN ('click', 'view')) "
+        "SELECT user_id, event_id FROM firsts WHERE rn = 1 "
+        "ORDER BY ts, event_id LIMIT 50"
+    ),
+    "w2_topk_orders": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "w3_pool_prelimit": (
+        "SELECT user_id % 4 AS bucket, event_id FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY user_id % 4 "
+        "ORDER BY ts, event_id) AS rn FROM events) WHERE rn <= 25"
+    ),
+    "f8_eligibility": (
+        "SELECT event_id, user_id FROM events WHERE event_type = 'click' "
+        "OR (event_type = 'error' AND value < 3.0)"
+    ),
+    "o3_run_pages": (
+        "SELECT event_id, event_type FROM events WHERE user_id = 7 ORDER BY event_id"
+    ),
+    "f2_f3_url_exclusion": (
+        "SELECT doc_id, 'http://h.example' || "
+        "(CASE doc_id % 5 WHEN 1 THEN '/feedback' "
+        "ELSE '/article/' || CAST(doc_id AS VARCHAR) END) AS url "
+        "FROM documents WHERE doc_id % 5 IN (1, 4)"
+    ),
+    "f13_canonicalize": (
+        "SELECT doc_id, 'http://site.example/Doc/' || CAST(doc_id AS VARCHAR) "
+        "AS canon FROM documents"
+    ),
+    "f12_formula_neutralize": (
+        "SELECT doc_id, CASE doc_id % 4 "
+        "WHEN 0 THEN '''=SUM(A1:B2)' WHEN 1 THEN '''+1234' "
+        "WHEN 2 THEN '''@cmd|calc' ELSE 'safe value' END AS cell_out FROM documents"
+    ),
+    "c1_content_hash": (
+        "SELECT doc_id, sha256(text) AS content_hash, "
+        "substr(sha256(text), 1, 8) AS disc FROM documents"
+    ),
+    "f15_truncate": "SELECT doc_id, substr(text, 1, 64) AS msg FROM documents",
+    "c8_classify_error": (
+        "SELECT doc_id, CASE doc_id % 6 "
+        "WHEN 0 THEN 'timeout' WHEN 1 THEN 'network' WHEN 2 THEN 'robots_disallowed' "
+        "WHEN 3 THEN 'parsing' WHEN 4 THEN 'invalid_url' ELSE 'other' END "
+        "AS error_type FROM documents"
+    ),
+    "c9_backoff": (
+        "SELECT doc_id, CAST(pow(2, doc_id % 7) AS INTEGER) AS delay, "
+        "least(CAST(pow(2, doc_id % 7) AS INTEGER) * 2, 30) AS backoff FROM documents"
+    ),
+    "d_exact_dedup": (
+        "SELECT min(doc_id) AS keeper, count(*) AS n_dups FROM documents GROUP BY text"
+    ),
+    "t_token_count": (
+        "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens "
+        "FROM documents"
+    ),
+    "t_lang_distribution": (
+        "SELECT lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars "
+        "FROM documents GROUP BY lang"
+    ),
+    "t_quality_score": (
+        "SELECT doc_id, round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) "
+        "/ greatest(length(text), 1), 4) AS alpha_ratio FROM documents"
+    ),
+    "s_embed_topk": (
+        "WITH q AS (SELECT embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 1) "
+        "SELECT vec_id, round(list_dot_product(embedding, qvec), 4) AS score "
+        "FROM embeddings, q ORDER BY score DESC, vec_id LIMIT 10"
+    ),
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the scheduler-shaped pick-one-per-host + top-k batch
+    query over sf0.001 (the W1/W2 core of the crawl engine)."""
+    return q_w1_scheduler_pick(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Benchmark: frontier-drain throughput at two parallelism levels + query timings.
+
+Headline metric (BASELINE.json): URLs fetched+deduped/sec draining a
+synthetic frontier into the image+caption payload table. The north
+rule's two-cluster-size scaling criterion (N vs 4N executors, efficiency
+>= 0.8) is evidenced in-sandbox by running the identical job at
+local[CPUS/4] and local[CPUS] and reporting throughput at both plus
+efficiency = (T_low / T_high) / 4 (per BASELINE.md's sandbox
+realization).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total bench seconds>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "throughput": {...}, "scaling": {...}}
+and writes BENCH/BASELINE.md with the scaling table.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_HOSTS (default 24000),
+SPARK_GRAFT_BENCH_STEPS (default 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "24000"))
+N_STEPS = int(os.environ.get("SPARK_GRAFT_BENCH_STEPS", "2"))
+LOW_CPUS = max(1, CPUS // 4)
+
+
+def _session(cores: int) -> SparkSession:
+    from par_scrape_spark.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        # clear the stopped-session singletons so a fresh master takes hold
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+    return get_spark(
+        app_name=f"bench_local_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+
+
+def drain_throughput(cores: int) -> dict:
+    """Run the identical frontier-drain job at the given parallelism."""
+    from par_scrape_spark.config import CrawlConfig, CrawlType
+    from par_scrape_spark.plans.crawl import CrawlEngine
+    from par_scrape_spark.sources.synthetic_web import seed_urls
+
+    spark = _session(cores)
+    # warmup: JVM codegen + arrow path
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    cfg = CrawlConfig(
+        run_name=f"bench{cores}",
+        seeds=tuple(seed_urls(42, N_HOSTS)),
+        crawl_type=CrawlType.DOMAIN,
+        crawl_batch_size=N_HOSTS + 16,
+        crawl_max_pages=N_HOSTS * N_STEPS,
+        web_seed=42,
+        num_buckets=64,
+        bloom_capacity_per_bucket=1 << 20,
+        compact_every=10**9,  # no mid-bench compaction
+        log_selection=False,
+    )
+    wh = tempfile.mkdtemp(prefix=f"bench_wh_{cores}_")
+    try:
+        eng = CrawlEngine(spark, cfg, wh)
+        eng.start()  # seeding excluded from the drain timing
+        t0 = time.time()
+        pages = 0
+        for _ in range(N_STEPS):
+            n = eng.superstep()
+            pages += n
+            if n == 0:
+                break
+        dt = time.time() - t0
+        payload = eng.payload.read(eng.state["snapshots"]["payload"])
+        n_images = payload.count()
+        return {
+            "cores": cores,
+            "pages": pages,
+            "images": n_images,
+            "seconds": round(dt, 2),
+            "urls_per_sec": round(pages / dt, 1),
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def query_timings() -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    spark = _session(CPUS)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    names = [
+        "j1_politeness_join",
+        "j2_seen_anti_join",
+        "w1_scheduler_pick",
+        "j4_latest_by_key",
+        "d_exact_dedup",
+        "t_token_count",
+        "s_embed_topk",
+        "d_minhash_pairs",
+        "d_simhash",
+        "c1_content_hash",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    t_start = time.time()
+    low = drain_throughput(LOW_CPUS)
+    high = drain_throughput(CPUS)
+    queries = query_timings()
+    speedup = high["urls_per_sec"] / low["urls_per_sec"] if low["urls_per_sec"] else 0
+    ratio = CPUS / LOW_CPUS
+    efficiency = round(speedup / ratio, 3)
+    total = round(time.time() - t_start, 2)
+
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
+    md_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    with open(md_path, "w") as f:
+        f.write(
+            "# BENCH — frontier-drain throughput & scaling\n\n"
+            f"Job: drain a {N_HOSTS}-host synthetic frontier for {N_STEPS} "
+            "supersteps (fetch + link-extract + robots gate + bloom/cuckoo "
+            "dedup + image decode/phash + snapshot commit per superstep).\n\n"
+            "| cores | pages | images | seconds | URLs/sec |\n|---|---|---|---|---|\n"
+            f"| {low['cores']} | {low['pages']} | {low['images']} | {low['seconds']} | {low['urls_per_sec']} |\n"
+            f"| {high['cores']} | {high['pages']} | {high['images']} | {high['seconds']} | {high['urls_per_sec']} |\n\n"
+            f"Scaling {LOW_CPUS} -> {CPUS} cores: speedup {speedup:.2f}x over a "
+            f"{ratio:.0f}x core ratio -> **efficiency {efficiency}** "
+            "(north-rule target >= 0.8).\n\n"
+            f"Query timings at {SF_DIR}:\n\n| query | sec |\n|---|---|\n"
+            + "".join(f"| {k} | {v} |\n" for k, v in queries.items())
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "frontier_drain_urls_per_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "throughput": {"low": low, "high": high},
+                "scaling": {
+                    "cores_low": LOW_CPUS,
+                    "cores_high": CPUS,
+                    "urls_per_sec_low": low["urls_per_sec"],
+                    "urls_per_sec_high": high["urls_per_sec"],
+                    "efficiency": efficiency,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

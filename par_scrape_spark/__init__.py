@@ -1,0 +1,32 @@
+"""par_scrape_spark — a PySpark-native distributed URL-frontier crawl engine.
+
+A from-scratch reimplementation of the *semantics* of paulrobello/par_scrape
+(reference at /root/reference, studied read-only) on Apache Spark:
+
+- the crawl frontier (reference ``scrape`` SQLite table,
+  ``queue_db.py:216-235``) becomes a host-bucketed snapshot table,
+- the scheduler (``queue_db.py:358-466``) becomes one windowed ranking query,
+- per-row Python becomes vectorized Arrow/pandas UDFs,
+- the ``while`` crawl loop (``runner.py:680-785``) becomes deterministic
+  BFS supersteps, each committed as one atomic snapshot.
+
+Nothing here is a port: the reference tells us WHAT to compute; Spark
+DataFrames decide HOW.
+"""
+
+__version__ = "0.1.0"
+
+from par_scrape_spark.config import (
+    CrawlConfig,
+    CrawlType,
+    ErrorType,
+    PageStatus,
+)
+
+__all__ = [
+    "CrawlConfig",
+    "CrawlType",
+    "ErrorType",
+    "PageStatus",
+    "__version__",
+]

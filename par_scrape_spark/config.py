@@ -1,0 +1,94 @@
+"""Run configuration and enums.
+
+Mirrors the reference's option surface (``ScrapeConfig`` frozen dataclass,
+/root/reference/src/par_scrape/runner.py:93-133) and its enums
+(/root/reference/src/par_scrape/enums.py:24-55) with the Spark-engine
+additions: logical clock, bucket counts, and determinism knobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class CrawlType(str, Enum):
+    """Crawl strategies (reference enums.py:24-30)."""
+
+    SINGLE_PAGE = "single_page"
+    SINGLE_LEVEL = "single_level"
+    DOMAIN = "domain"
+
+
+class PageStatus(str, Enum):
+    """Frontier state machine (reference enums.py:33-39).
+
+    queued -> active -> {completed | error}; error rows with
+    attempts < retries are re-eligible (queue_db.py:400-401).
+    """
+
+    QUEUED = "queued"
+    ACTIVE = "active"
+    COMPLETED = "completed"
+    ERROR = "error"
+
+
+class ErrorType(str, Enum):
+    """Error taxonomy (reference enums.py:42-55)."""
+
+    NETWORK = "network"
+    PARSING = "parsing"
+    ROBOTS_DISALLOWED = "robots_disallowed"
+    INVALID_URL = "invalid_url"
+    TIMEOUT = "timeout"
+    OTHER = "other"
+
+
+# Persisted error messages are bounded (reference queue_db.py:28).
+ERROR_MESSAGE_MAX_LEN = 255
+
+# Scheduler candidate pool: 25x batch, min 100 (reference queue_db.py:393).
+CANDIDATE_POOL_FACTOR = 25
+CANDIDATE_POOL_MIN = 100
+
+# Adaptive backoff: delay*2 capped at 30 (reference queue_db.py:512-537).
+BACKOFF_FACTOR = 2
+BACKOFF_CAP = 30
+
+# queued_seq composite encoding (deterministic, shuffle-free sequence
+# assignment — see plans/crawl.py):
+#   seq = superstep << 44 | parent_rank << 16 | link_pos
+# parent_rank < 2^28 (268M hosts/batch), link_pos < 2^16 links/page.
+SEQ_SUPERSTEP_SHIFT = 44
+SEQ_PARENT_SHIFT = 16
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Full option surface of one crawl run.
+
+    Field semantics follow the reference CLI defaults
+    (/root/reference/src/par_scrape/__main__.py:110-117,241-260) except
+    where the distributed engine needs more: ``num_buckets`` sizes the
+    host-salted partitioning, ``bloom_*`` size the per-bucket seen-set
+    filters, and time is a logical superstep tick, never wall clock.
+    """
+
+    run_name: str
+    seeds: tuple[str, ...]
+    crawl_type: CrawlType = CrawlType.DOMAIN
+    crawl_batch_size: int = 1
+    crawl_max_pages: int = 100
+    scrape_retries: int = 3
+    respect_rate_limits: bool = True
+    respect_robots: bool = True
+    crawl_delay: int = 1  # ticks; seed-host override like --crawl-delay
+    max_depth: int | None = None
+    web_seed: int = 42  # synthetic web determinism seed
+    num_buckets: int = 8  # host_salt buckets; 4096 at 10^10 design point
+    bloom_capacity_per_bucket: int = 1 << 17
+    bloom_fpp: float = 1e-3
+    compact_every: int = 8  # fold frontier deltas into base every N supersteps
+    log_selection: bool = True  # record per-superstep selection order in
+    # RUN_STATE.json (the equivalence-test artifact; off for big benches)
+    extra: dict = field(default_factory=dict)

@@ -1,0 +1,1 @@
+"""Vectorized column functions and pandas/Arrow UDFs."""

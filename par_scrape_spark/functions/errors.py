@@ -1,0 +1,42 @@
+"""Error classification as a JVM when/otherwise cascade (C8).
+
+Column-expression twin of ``policy.classify_error_message`` — the
+keyword tier of the reference classifier
+(/root/reference/src/par_scrape/exceptions.py:44-76), in the same
+keyword order (timeout → network → robots → parsing → url → other).
+Stays inside whole-stage codegen; no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from par_scrape_spark.config import ErrorType
+
+
+def classify_error_col(msg: Column) -> Column:
+    m = F.lower(msg)
+    return (
+        F.when(
+            m.contains("timeout") | m.contains("timed out"),
+            F.lit(ErrorType.TIMEOUT.value),
+        )
+        .when(
+            m.contains("network") | m.contains("connection"),
+            F.lit(ErrorType.NETWORK.value),
+        )
+        .when(
+            m.contains("robots.txt") | m.contains("disallowed"),
+            F.lit(ErrorType.ROBOTS_DISALLOWED.value),
+        )
+        .when(
+            m.contains("html") | m.contains("parse"),
+            F.lit(ErrorType.PARSING.value),
+        )
+        .when(
+            m.contains("url") | m.contains("scheme"),
+            F.lit(ErrorType.INVALID_URL.value),
+        )
+        .otherwise(F.lit(ErrorType.OTHER.value))
+    )

@@ -1,0 +1,273 @@
+"""Image codecs, perceptual hash, and PSNR — numpy-only, fully deterministic.
+
+The sandbox has no PIL/imagehash (SURVEY §7.0), so the engine owns its
+codecs end to end:
+
+- ``png``  — real (readable-by-anything) minimal PNG: 8-bit grayscale or
+  RGB, filter type 0, stdlib zlib + struct. Lossless: decode(encode(x)) == x.
+- ``qdct`` — our documented lossy codec: 8x8 orthonormal block DCT,
+  uniform quantization step Q (default 4 → quantization MSE ≈ Q²/12 ≈ 1.33
+  → PSNR ≈ 46 dB, comfortably over the input_hint's 40 dB floor), int16
+  coefficients, zlib-compressed. The generator and the decoder share this
+  code, so the per-row invariant "decoded-pixel allclose / PSNR >= 40 dB"
+  (BASELINE.json::input_hint) is verifiable by construction. Real-world
+  JPEG support is an adapter behind the same decode entry point.
+- ``phash`` — 64-bit DCT perceptual hash (32x32 downsample → 2D DCT →
+  top-left 8x8 → median threshold), the dedup key for the payload table
+  (reference analogue: the content-hash dedup at runner.py:531; images
+  need a *perceptual* rather than byte hash).
+
+Everything here is a pure function of its inputs; these run inside
+Arrow-batch pandas UDFs (see operators/payload.py), never per-row Python
+at the DataFrame layer.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from functools import lru_cache
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+QDCT_MAGIC = b"QDCT"
+DEFAULT_Q = 4
+
+
+# ---------------------------------------------------------------- PNG
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode HxW (grayscale) or HxWx3 (RGB) uint8 array as a minimal PNG."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    rows = img.reshape(h, w * channels)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG per-row filters 0-4 (we emit 0, but decode all)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[pos]
+        row = raw[pos + 1 : pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        else:  # Sub / Average / Paeth need a left-to-right scan
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    val = row[x] + a
+                elif ftype == 3:
+                    val = row[x] + (a + b) // 2
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    val = row[x] + pred
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                cur[x] = val & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a (minimal-profile) PNG back to a uint8 array."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = 0
+    channels = 1
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or interlace != 0 or color_type not in (0, 2):
+                raise ValueError("unsupported PNG profile")
+            channels = 3 if color_type == 2 else 1
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * channels
+    out = _unfilter(raw, h, stride, channels)
+    return out.reshape(h, w) if channels == 1 else out.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------- DCT
+
+
+@lru_cache(maxsize=8)
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n x n)."""
+    k = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    mat = np.cos(np.pi * (2 * j + 1) * k / (2 * n))
+    mat *= np.sqrt(2.0 / n)
+    mat[0] /= np.sqrt(2.0)
+    return mat
+
+
+# ---------------------------------------------------------------- qDCT
+
+
+def encode_qdct(img: np.ndarray, q: int = DEFAULT_Q) -> bytes:
+    """Lossy-encode a uint8 image with 8x8 block DCT + uniform quantizer."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        planes = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        planes = img
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w, c = planes.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    padded = np.pad(planes, ((0, ph), (0, pw), (0, 0)), mode="edge").astype(np.float64)
+    hh, ww = padded.shape[:2]
+    d8 = _dct_matrix(8)
+    blocks = padded.transpose(2, 0, 1).reshape(c, hh // 8, 8, ww // 8, 8).transpose(0, 1, 3, 2, 4)
+    coeffs = np.einsum("ij,cbqjk,lk->cbqil", d8, blocks - 128.0, d8)
+    quant = np.round(coeffs / q).astype(np.int16)
+    header = QDCT_MAGIC + struct.pack(">HHBB", w, h, c, q)
+    return header + zlib.compress(quant.tobytes(), 6)
+
+
+def decode_qdct(data: bytes) -> np.ndarray:
+    """Decode a qDCT payload back to uint8 pixels."""
+    if data[:4] != QDCT_MAGIC:
+        raise ValueError("not qDCT")
+    w, h, c, q = struct.unpack(">HHBB", data[4:10])
+    hh, ww = h + ((-h) % 8), w + ((-w) % 8)
+    n_blocks_h, n_blocks_w = hh // 8, ww // 8
+    quant = np.frombuffer(zlib.decompress(data[10:]), dtype=np.int16).reshape(
+        c, n_blocks_h, n_blocks_w, 8, 8
+    )
+    d8 = _dct_matrix(8)
+    blocks = np.einsum("ji,cbqjk,kl->cbqil", d8, quant.astype(np.float64) * q, d8)
+    padded = blocks.transpose(0, 1, 3, 2, 4).reshape(c, hh, ww).transpose(1, 2, 0)
+    out = np.clip(np.round(padded + 128.0), 0, 255).astype(np.uint8)
+    out = out[:h, :w]
+    return out[:, :, 0] if c == 1 else out
+
+
+# ---------------------------------------------------------------- codec facade
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(img)
+    if fmt == "qdct":
+        return encode_qdct(img)
+    raise ValueError(f"unknown image format {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Decode ``bytes`` for a payload row. Adapter point for real formats:
+    jpeg/webp would dispatch to an external codec here (stubbed — not in
+    this container)."""
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "qdct":
+        return decode_qdct(data)
+    if fmt in ("jpeg", "jpg", "webp", "avif"):
+        raise NotImplementedError(f"{fmt} decode requires an image library not in this container")
+    raise ValueError(f"unknown image format {fmt!r}")
+
+
+# ---------------------------------------------------------------- phash / psnr
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 3:
+        return img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
+    return img.astype(np.float64)
+
+
+def _downsample32(gray: np.ndarray) -> np.ndarray:
+    h, w = gray.shape
+    if h % 32 == 0 and w % 32 == 0:
+        return gray.reshape(32, h // 32, 32, w // 32).mean(axis=(1, 3))
+    yi = (np.arange(32) * h) // 32
+    xi = (np.arange(32) * w) // 32
+    return gray[np.ix_(yi, xi)]
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit DCT perceptual hash, returned as a signed int64 value.
+
+    Definition: grayscale → 32x32 area-mean downsample → orthonormal 2D
+    DCT → top-left 8x8 coefficient block → threshold every coefficient
+    against ``median + 0.05 * std`` of the 63 non-DC coefficients. Bit i
+    (row-major) set iff coeff clears the threshold.
+
+    The small std-scaled margin is a deliberate deviation from classic
+    phash (plain median): synthetic images have sparse spectra, so most
+    coefficients sit *at* the median and plain-median bits flip under
+    lossy re-encode noise. The margin keeps near-zero coefficients
+    stably 0 while leaving genuinely-signal bits untouched; on
+    rich-spectrum natural images std ≈ coefficient scale and the margin
+    is negligible.
+    """
+    gray = _downsample32(_to_gray(np.asarray(img, dtype=np.float64)))
+    d32 = _dct_matrix(32)
+    coeffs = (d32 @ gray @ d32.T)[:8, :8].ravel()
+    ac = coeffs[1:]
+    threshold = np.median(ac) + 0.05 * np.std(ac)
+    bits = coeffs > threshold
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            val |= np.uint64(1) << np.uint64(i)
+    return int(val.astype(np.int64))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

@@ -1,0 +1,103 @@
+"""Markdown boilerplate pruning (reference ENH-003 semantics).
+
+Behavioral parity with /root/reference/src/par_scrape/prune.py:68-145
+(verified line-rule-for-line-rule by tests/test_prune.py against the cases
+in the reference's own test suite), implemented independently as a single
+classification pass plus a run-resolution pass over ``groupby``.
+
+Rules (keep-biased):
+1. a list item whose visible text disappears once ``[text](url)`` links are
+   reduced to their text is dropped;
+2. a run of >= 4 consecutive list items that are each exactly one link
+   (nav menu / footer link farm) is dropped;
+3. a line whose body is only a bare URL or only an image reference is
+   dropped;
+- headings, table rows, fence delimiters, code-block interiors, and any
+  line whose body contains a digit are never dropped;
+- kept lines are right-stripped; runs of blank lines collapse to one.
+
+Exposed both as the pure function (used by the simulator and tests) and as
+a scalar pandas UDF for the Spark pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+from itertools import groupby
+
+import pandas as pd
+
+_FENCE = re.compile(r"^\s{0,3}(?:```|~~~)")
+_LIST_MARK = re.compile(r"^\s{0,3}(?:[-*+]\s+|\d+\.\s+)")
+_MD_LINK = re.compile(r"\[([^\]]*)\]\([^)]*\)")
+_SINGLE_LINK_BODY = re.compile(r"^\[[^\]]*\]\([^)]*\)$")
+_BARE_URL = re.compile(r"^(?:https?://|//|www\.)\S+$", re.IGNORECASE)
+_IMAGE_BODY = re.compile(r"^!\[[^\]]*\]\([^)]*\)$")
+_HEADING = re.compile(r"^#{1,6}\s")
+_TABLE_ROW = re.compile(r"^\s*\|")
+_DIGIT = re.compile(r"\d")
+
+NAV_RUN_MIN = 4
+
+
+def _classify(line: str, in_fence: bool, is_fence: bool) -> tuple[bool, bool, bool]:
+    """Return (protected, link_only_item, drop_single) for one line."""
+    if in_fence and not is_fence:
+        return True, False, False
+    body = _LIST_MARK.sub("", line, count=1)
+    protected = bool(
+        is_fence
+        or _HEADING.match(line.lstrip())
+        or _TABLE_ROW.match(line)
+        or _DIGIT.search(body)
+    )
+    is_item = bool(_LIST_MARK.match(line))
+    stripped = body.strip()
+    link_only = is_item and bool(_SINGLE_LINK_BODY.match(stripped))
+    # rule 1: link text vanishes; rule 3: bare URL / image-only body
+    drop = (is_item and not _MD_LINK.sub(r"\1", body).strip()) or bool(
+        _BARE_URL.match(stripped) or _IMAGE_BODY.match(stripped)
+    )
+    return protected, link_only, drop
+
+
+def prune_markdown(markdown: str) -> str:
+    """Prune boilerplate from converted page markdown (pure function)."""
+    if not markdown:
+        return ""
+    lines = markdown.split("\n")
+    flags: list[tuple[bool, bool, bool]] = []
+    in_fence = False
+    for line in lines:
+        is_fence = bool(_FENCE.match(line))
+        if is_fence:
+            in_fence = not in_fence
+        flags.append(_classify(line, in_fence, is_fence))
+
+    drop = [f[2] for f in flags]
+    # rule 2: resolve runs of consecutive unprotected link-only items
+    idx = 0
+    for key, grp in groupby(range(len(lines)), key=lambda i: flags[i][1] and not flags[i][0]):
+        n = len(list(grp))
+        if key and n >= NAV_RUN_MIN:
+            for j in range(idx, idx + n):
+                drop[j] = True
+        idx += n
+
+    kept = [
+        line.rstrip()
+        for i, line in enumerate(lines)
+        if flags[i][0] or not drop[i]
+    ]
+    return re.sub(r"\n{3,}", "\n\n", "\n".join(kept))
+
+
+def prune_markdown_udf():
+    """Scalar pandas UDF Series[str] -> Series[str] wrapping prune_markdown."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _prune(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: prune_markdown(x) if x is not None else None)
+
+    return F.pandas_udf(_prune, T.StringType())

@@ -1,0 +1,119 @@
+"""URL column expressions (JVM fast path) and the canonicalization UDF.
+
+Two tiers, per SURVEY §2.2:
+
+- JVM Column expressions for everything ``pyspark.sql.functions`` can say
+  (validity F1, extension filter F2, segment filter F3, host extraction,
+  truncation F15, hashing) — these stay inside whole-stage codegen.
+- one vectorized pandas UDF, ``canonicalize_udf``, for the part Spark has
+  no built-in for (full canonicalization incl. default-port stripping,
+  reference queue_db.py:319) — it calls the exact policy.canonicalize_url
+  used by the simulator, so seen-set identity is bit-deterministic.
+
+``url_hash`` is always computed JVM-side with ``F.xxhash64`` *after*
+canonicalization, so the hash definition lives in one place (Spark's
+XXH64(seed=42)) and never needs a Python twin.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from par_scrape_spark import policy
+
+# ------------------------------------------------------------- JVM tier
+
+
+def valid_url_col(url: Column) -> Column:
+    """F1: scheme in (http, https) and non-empty host (links.py:37-52)."""
+    return F.parse_url(url, F.lit("PROTOCOL")).isin("http", "https") & F.parse_url(
+        url, F.lit("HOST")
+    ).isNotNull()
+
+
+def host_col(url: Column) -> Column:
+    """C3: URL host via the built-in parser."""
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def exclude_url_col(url: Column) -> Column:
+    """F2+F3: extension filter + segment-anchored boilerplate filter."""
+    path = F.lower(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")))
+    return path.rlike(policy.EXCLUDED_EXTENSION_RLIKE) | path.rlike(
+        policy.EXCLUDED_SEGMENT_RLIKE
+    )
+
+
+def truncate_error_col(msg: Column, max_len: int = 255) -> Column:
+    """F15: bounded error payload (queue_db.py:28,617)."""
+    return F.substring(msg, 1, max_len)
+
+
+def url_hash_col(url: Column) -> Column:
+    """Seen-set hash key: Spark-native XXH64 over the canonical URL."""
+    return F.xxhash64(url)
+
+
+def host_salt_col(host: Column, num_buckets: int) -> Column:
+    """D5: host-salted bucket id for frontier partitioning."""
+    return F.pmod(F.xxhash64(host), F.lit(num_buckets)).cast("int")
+
+
+def neutralize_formula_col(c: Column) -> Column:
+    """F12: CWE-1236 spreadsheet-formula neutralization
+    (scrape_data.py:139-145): prefix cells starting with = + - @ TAB CR
+    with a single quote."""
+    first = F.substring(c, 1, 1)
+    return F.when(first.isin("=", "+", "-", "@", "\t", "\r"), F.concat(F.lit("'"), c)).otherwise(c)
+
+
+def output_folder_col(run: Column, url: Column) -> Column:
+    """F14: collision-free artifact path (paths.py:9-62).
+
+    ``run/host`` for bare hosts; path segments joined with ``__``; a
+    sha256[:8] discriminator appended when the sanitized path exceeds 100
+    chars or a query string is present.
+    """
+    host = F.split(F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit("")), ":")[0]
+    raw_path = F.regexp_replace(
+        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), "^/+|/+$", ""
+    )
+    sanitized = F.regexp_replace(raw_path, "/+", "__")
+    query = F.parse_url(url, F.lit("QUERY"))
+    digest = F.substring(F.sha2(url, 256), 1, 8)
+    needs_hash = (F.length(sanitized) > 100) | query.isNotNull()
+    sanitized = F.when(
+        needs_hash, F.concat(F.substring(sanitized, 1, 100), F.lit("-"), digest)
+    ).otherwise(sanitized)
+    return F.when(
+        F.length(sanitized) > 0, F.concat_ws("/", run, host, sanitized)
+    ).otherwise(F.concat_ws("/", run, host))
+
+
+# ------------------------------------------------------------- UDF tier
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    """F13: canonical seen-set form of each URL (vectorized Arrow batch)."""
+    return urls.map(lambda u: policy.canonicalize_url(u) if u is not None else None)
+
+
+@F.pandas_udf(T.BooleanType())
+def valid_url_udf(urls: pd.Series) -> pd.Series:
+    """Python-exact F1 (used where parity with the simulator matters)."""
+    return urls.map(lambda u: policy.is_valid_url(u) if u is not None else False)
+
+
+def with_url_identity(df, url_col: str = "url", num_buckets: int = 8):
+    """Attach the derived identity columns used everywhere downstream:
+    canonical url, url_hash, host, host_salt."""
+    df = df.withColumn(url_col, canonicalize_udf(F.col(url_col)))
+    return (
+        df.withColumn("url_hash", url_hash_col(F.col(url_col)))
+        .withColumn("host", F.lower(host_col(F.col(url_col))))
+        .withColumn("host_salt", host_salt_col(F.col("host"), num_buckets))
+    )

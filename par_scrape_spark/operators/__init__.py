@@ -1,0 +1,1 @@
+"""Engine operators: scheduler, dedup, link expansion, payload, stats."""

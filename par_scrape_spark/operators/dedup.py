@@ -1,0 +1,434 @@
+"""URL-seen set: partitioned Bloom + cuckoo spill tier + exact anti-join.
+
+The reference's seen set is the SQLite primary key ``(ticket_id, url)``
+with ``INSERT OR IGNORE`` (/root/reference/src/par_scrape/queue_db.py:233,
+324-331). Distributed at 10^10-frontier scale (north_rule) that becomes:
+
+1. a per-host-bucket **Bloom filter** sized to the bucket's share of the
+   frontier — candidates the Bloom has *never seen* are provably new and
+   skip the shuffle entirely;
+2. a **cuckoo spill tier** per bucket once the Bloom passes its design
+   load (cuckoo keeps FPP low at high load factors and supports delete);
+3. the **exact left-anti join** against the frontier keys for the
+   (rare) Bloom-positive candidates — filters only prune shuffle, they
+   are never the source of truth, so the seen set stays *bit-for-bit
+   exact* (north_rule).
+
+Filters live as versioned sidecar files per bucket next to the table
+checkpoint; executors read/write only the buckets their partition owns
+(``applyInPandas`` grouped by ``host_salt``), so no single node ever
+holds the whole seen set. Missing sidecars degrade safely: every
+candidate is treated as maybe-seen and takes the exact join.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------- filters
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — derives independent probe hashes."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    return x ^ (x >> np.uint64(31))
+
+
+class BloomFilter:
+    """Vectorized numpy Bloom filter over int64 keys (double hashing)."""
+
+    def __init__(self, capacity: int, fpp: float = 1e-3, bits: np.ndarray | None = None):
+        self.capacity = capacity
+        self.fpp = fpp
+        n_bits = max(64, int(-capacity * np.log(fpp) / (np.log(2) ** 2)))
+        n_bits = ((n_bits + 63) // 64) * 64
+        self.n_bits = n_bits
+        self.k = max(1, int(round(n_bits / capacity * np.log(2))))
+        self.bits = bits if bits is not None else np.zeros(n_bits // 64, dtype=np.uint64)
+        self.count = 0
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        u = keys.astype(np.int64).view(np.uint64)
+        h1 = _mix64(u)
+        h2 = _mix64(u ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.n_bits)).astype(np.int64)
+
+    def add(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        pos = self._positions(np.asarray(keys)).ravel()
+        np.bitwise_or.at(
+            self.bits, pos >> 6, (np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+        )
+        self.count += len(keys)
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(np.asarray(keys))
+        got = (self.bits[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
+        return got.all(axis=0)
+
+
+class CuckooFilter:
+    """Small numpy cuckoo filter: 4-slot buckets, 16-bit fingerprints.
+
+    The spill tier for buckets past the Bloom design load (SURVEY §2.8
+    D2): supports delete and keeps false-positive rate low at high load.
+    """
+
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int, table: np.ndarray | None = None):
+        n_buckets = 1
+        while n_buckets * 4 < capacity * 1.3:
+            n_buckets *= 2
+        self.n_buckets = n_buckets if table is None else table.shape[0]
+        self.table = (
+            table if table is not None else np.zeros((self.n_buckets, 4), dtype=np.uint16)
+        )
+        self.count = 0
+        # failed kick chains park the displaced fingerprint here instead of
+        # dropping it (a dropped victim would be a false negative — fatal
+        # for seen-set correctness)
+        self.stash: set[tuple[int, int]] = set()
+
+    def _fp_and_index(self, key: int) -> tuple[int, int]:
+        h = int(_mix64(np.array([key], dtype=np.int64).view(np.uint64))[0])
+        fp = (h & 0xFFFF) or 1
+        idx = (h >> 16) % self.n_buckets
+        return fp, idx
+
+    def _alt_index(self, idx: int, fp: int) -> int:
+        h = int(_mix64(np.array([fp], dtype=np.uint64))[0])
+        return (idx ^ h) % self.n_buckets
+
+    def _insert_at(self, idx: int, fp: int) -> bool:
+        row = self.table[idx]
+        empties = np.flatnonzero(row == 0)
+        if len(empties):
+            row[empties[0]] = fp
+            return True
+        return False
+
+    def add(self, key: int) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        i2 = self._alt_index(i1, fp)
+        if self._insert_at(i1, fp) or self._insert_at(i2, fp):
+            self.count += 1
+            return True
+        idx = i1
+        for kick in range(self.MAX_KICKS):
+            slot = kick % 4
+            fp, self.table[idx, slot] = int(self.table[idx, slot]), fp
+            idx = self._alt_index(idx, fp)
+            if self._insert_at(idx, fp):
+                self.count += 1
+                return True
+        # table effectively full: park the final displaced fingerprint in
+        # the stash (idx is one of its two valid buckets) so no key is lost
+        self.stash.add((idx, fp))
+        self.count += 1
+        return True
+
+    def contains_one(self, key: int) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        i2 = self._alt_index(i1, fp)
+        if (self.table[i1] == fp).any() or (self.table[i2] == fp).any():
+            return True
+        return (i1, fp) in self.stash or (i2, fp) in self.stash
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (self.contains_one(int(k)) for k in keys), dtype=bool, count=len(keys)
+        )
+
+    def delete(self, key: int) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        i2 = self._alt_index(i1, fp)
+        for idx in (i1, i2):
+            slots = np.flatnonzero(self.table[idx] == fp)
+            if len(slots):
+                self.table[idx, slots[0]] = 0
+                self.count -= 1
+                return True
+            if (idx, fp) in self.stash:
+                self.stash.discard((idx, fp))
+                self.count -= 1
+                return True
+        return False
+
+
+class SeenFilter:
+    """Per-bucket membership filter: Bloom primary + cuckoo spill tier."""
+
+    def __init__(self, capacity: int, fpp: float = 1e-3):
+        self.bloom = BloomFilter(capacity, fpp)
+        self.cuckoo: CuckooFilter | None = None
+
+    def add(self, keys: np.ndarray) -> None:
+        keys = np.asarray(keys, dtype=np.int64)
+        room = self.bloom.capacity - self.bloom.count
+        head, tail = keys[: max(0, room)], keys[max(0, room):]
+        if len(head):
+            self.bloom.add(head)
+        if len(tail):
+            if self.cuckoo is None:
+                self.cuckoo = CuckooFilter(self.bloom.capacity)
+            for k in tail:
+                if not self.cuckoo.add(int(k)):
+                    # cuckoo table full: overflow into the Bloom (its FPP
+                    # rises past design load but membership stays
+                    # conservative — never a false negative)
+                    self.bloom.add(np.array([k], dtype=np.int64))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.int64)
+        got = self.bloom.contains(keys)
+        if self.cuckoo is not None and not got.all():
+            miss = ~got
+            got[miss] = self.cuckoo.contains(keys[miss])
+        return got
+
+    def save(self, path: str) -> None:
+        """Atomically write the filter to ``path`` (must end in .npz)."""
+        payload = {"bloom_bits": self.bloom.bits, "meta": np.array(
+            [self.bloom.capacity, self.bloom.count, int(self.bloom.fpp * 1e9)],
+            dtype=np.int64,
+        )}
+        if self.cuckoo is not None:
+            payload["cuckoo"] = self.cuckoo.table
+            payload["cuckoo_stash"] = np.array(
+                sorted(self.cuckoo.stash), dtype=np.int64
+            ).reshape(-1, 2)
+        tmp = path[:-4] + f".tmp-{os.getpid()}.npz"
+        np.savez_compressed(tmp, **payload)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "SeenFilter":
+        data = np.load(path)
+        capacity, count, fpp_e9 = (int(x) for x in data["meta"])
+        sf = cls(capacity, fpp_e9 / 1e9)
+        sf.bloom.bits = data["bloom_bits"].copy()
+        sf.bloom.count = count
+        if "cuckoo" in data:
+            sf.cuckoo = CuckooFilter(0, table=data["cuckoo"].copy())
+            if "cuckoo_stash" in data:
+                sf.cuckoo.stash = {
+                    (int(a), int(b)) for a, b in data["cuckoo_stash"]
+                }
+        return sf
+
+
+# ---------------------------------------------------------------- store
+
+
+class FilterStore:
+    """Versioned per-bucket filter sidecars: <root>/step-<k>/bucket-<i>.npz."""
+
+    def __init__(self, root: str, capacity: int, fpp: float = 1e-3):
+        self.root = root
+        self.capacity = capacity
+        self.fpp = fpp
+
+    def step_dir(self, step: int) -> str:
+        return os.path.join(self.root, f"step-{step:08d}")
+
+    def bucket_path(self, step: int, bucket: int) -> str:
+        return os.path.join(self.step_dir(step), f"bucket-{bucket:05d}.npz")
+
+    def exists(self, step: int) -> bool:
+        return os.path.isdir(self.step_dir(step))
+
+    def load_bucket(self, step: int, bucket: int) -> SeenFilter | None:
+        path = self.bucket_path(step, bucket)
+        return SeenFilter.load(path) if os.path.exists(path) else None
+
+    def advance(self, prev_step: int | None, step: int, updates_df, num_buckets: int) -> None:
+        """Write the step's filter sidecars: buckets with new keys are
+        updated via grouped pandas (executor-side), untouched buckets are
+        hard-linked forward. ``updates_df`` = (host_salt, url_hash)."""
+        out_dir = self.step_dir(step)
+        os.makedirs(out_dir, exist_ok=True)
+        store_root, capacity, fpp = self.root, self.capacity, self.fpp
+        prev = prev_step
+
+        def _update(group: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(group["host_salt"].iloc[0])
+            prev_path = (
+                os.path.join(store_root, f"step-{prev:08d}", f"bucket-{bucket:05d}.npz")
+                if prev is not None
+                else None
+            )
+            if prev_path and os.path.exists(prev_path):
+                sf = SeenFilter.load(prev_path)
+            else:
+                sf = SeenFilter(capacity, fpp)
+            sf.add(group["url_hash"].to_numpy(dtype=np.int64))
+            sf.save(
+                os.path.join(store_root, f"step-{step:08d}", f"bucket-{bucket:05d}.npz")
+            )
+            return pd.DataFrame({"host_salt": [bucket], "n": [len(group)]})
+
+        schema = T.StructType(
+            [
+                T.StructField("host_salt", T.IntegerType()),
+                T.StructField("n", T.LongType()),
+            ]
+        )
+        touched = (
+            updates_df.select("host_salt", "url_hash")
+            .groupBy("host_salt")
+            .applyInPandas(_update, schema)
+            .collect()
+        )
+        touched_buckets = {row["host_salt"] for row in touched}
+        # link untouched buckets forward from the previous step
+        if prev_step is not None and self.exists(prev_step):
+            for fname in os.listdir(self.step_dir(prev_step)):
+                if not fname.endswith(".npz"):
+                    continue
+                bucket = int(fname.split("-")[1].split(".")[0])
+                if bucket in touched_buckets:
+                    continue
+                src = os.path.join(self.step_dir(prev_step), fname)
+                dst = os.path.join(out_dir, fname)
+                if not os.path.exists(dst):
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        shutil.copy2(src, dst)
+
+    def probe_udf_cols(self, candidates: DataFrame, step: int | None) -> DataFrame:
+        """Attach ``maybe_seen``: filter-positive candidates (must take the
+        exact anti-join); filter-negative ones are provably new."""
+        if step is None or not self.exists(step):
+            return candidates.withColumn("maybe_seen", F.lit(True))
+        store_root, capacity, fpp = self.root, self.capacity, self.fpp
+        out_schema = T.StructType(
+            candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
+        )
+
+        def _probe(iterator):
+            cache: dict[int, SeenFilter | None] = {}
+            for pdf in iterator:
+                result = np.ones(len(pdf), dtype=bool)
+                for bucket, idx in pdf.groupby("host_salt").groups.items():
+                    b = int(bucket)
+                    if b not in cache:
+                        path = os.path.join(
+                            store_root, f"step-{step:08d}", f"bucket-{b:05d}.npz"
+                        )
+                        cache[b] = SeenFilter.load(path) if os.path.exists(path) else None
+                    sf = cache[b]
+                    keys = pdf.loc[idx, "url_hash"].to_numpy(dtype=np.int64)
+                    result[pdf.index.get_indexer(idx)] = (
+                        sf.contains(keys) if sf is not None else False
+                    )
+                pdf = pdf.copy()
+                pdf["maybe_seen"] = result
+                yield pdf
+
+        return candidates.mapInPandas(_probe, out_schema)
+
+
+# ---------------------------------------------------------------- J2 dedup
+
+
+def dedup_new_urls(
+    candidates: DataFrame,
+    frontier_keys: DataFrame,
+    store: FilterStore | None = None,
+    filter_step: int | None = None,
+) -> DataFrame:
+    """J2: keep only candidates not already in the frontier (exact).
+
+    Bloom/cuckoo-negative candidates bypass the join (provably new);
+    positives take a left-anti join against the frontier keys on
+    ``(run, url_hash, url)``. Join on the hash first keeps the comparison
+    cheap; the url column rides along to make hash collisions harmless.
+    """
+    if store is not None:
+        probed = store.probe_udf_cols(candidates, filter_step)
+        definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        survivors = maybe.join(frontier_keys, ["run", "url_hash", "url"], "left_anti")
+        return definite_new.unionByName(survivors)
+    return candidates.join(frontier_keys, ["run", "url_hash", "url"], "left_anti")
+
+
+# ---------------------------------------------------------------- J8 phash
+
+
+def dedup_payload_exact(payload: DataFrame) -> DataFrame:
+    """Exact-phash tier of image dedup: first row (by fetched_at, url,
+    image_id) wins per phash."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("phash").orderBy("fetched_at", "url", "image_id")
+    return (
+        payload.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def near_dup_pairs(payload: DataFrame, bands: int = 4, max_hamming: int = 10) -> DataFrame:
+    """J8: banded-Hamming candidate self-join over phash.
+
+    Split each 64-bit phash into ``bands`` 16-bit bands; two images within
+    Hamming distance ``bands-1`` must share at least one exact band
+    (pigeonhole), so the band-bucket equi-join finds all close pairs
+    without an O(n²) cross join. Pairs are then verified with an exact
+    popcount on the XOR.
+    """
+    banded = payload.select("image_id", "phash").withColumn(
+        "band",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_no"),
+                        F.shiftright(F.col("phash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ),
+    ).select("image_id", "phash", "band.band_no", "band.band_val")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("image_a"),
+            F.col("b.image_id").alias("image_b"),
+            F.col("a.phash").alias("phash_a"),
+            F.col("b.phash").alias("phash_b"),
+        )
+        .dropDuplicates(["image_a", "image_b"])
+    )
+    hamming = F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b")))
+    return pairs.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming)

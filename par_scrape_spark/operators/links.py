@@ -1,0 +1,167 @@
+"""Fetch + link-extraction UDFs and child-candidate construction.
+
+The reference's per-URL pipeline (``process_url``,
+/root/reference/src/par_scrape/runner.py:442-638) becomes a column
+pipeline over the selected batch: ``fetch_extract`` is one
+``mapInPandas`` pass that fetches the page (synthetic in the sandbox —
+deterministic function of ``(url, seed)``; an async HTTP client per
+partition in a real deployment), detects the crash-marker / empty-fetch
+error branches (runner.py:75,486-487,513-520), converts to markdown,
+hashes it (runner.py:531), and extracts links (links.py:83-165 semantics
+via policy.extract_links). Errors never fail a task — they are carried
+as ``fetch_error`` columns (SURVEY §2.9 L3/L6).
+
+``child_candidates`` turns the per-page link arrays into frontier
+candidate rows with a **shuffle-free deterministic queued_seq**:
+
+    queued_seq = (superstep << 44) | (parent_rank << 16) | link_pos
+
+parent_rank is the parent's position in the batch (deterministic from
+the scheduler), link_pos the link's first-appearance index on the page —
+unique per candidate, totally ordered, and computable as pure column
+arithmetic: no global row_number shuffle at 10^10 scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from par_scrape_spark import policy
+from par_scrape_spark.config import (
+    SEQ_PARENT_SHIFT,
+    SEQ_SUPERSTEP_SHIFT,
+    CrawlType,
+)
+from par_scrape_spark.functions.urls import host_salt_col, url_hash_col
+from par_scrape_spark.sources import synthetic_web
+
+FETCH_RESULT_FIELDS = [
+    T.StructField("fetch_error", T.StringType()),
+    T.StructField("markdown", T.StringType()),
+    T.StructField("content_hash", T.StringType()),
+    T.StructField("links", T.ArrayType(T.StringType())),
+    T.StructField("n_images", T.IntegerType()),
+]
+
+
+def fetch_extract(
+    batch: DataFrame,
+    seed: int,
+    crawl_type: CrawlType,
+    seed_url_set: frozenset[str] | None = None,
+) -> DataFrame:
+    """Fetch every URL in the batch and extract links (one mapInPandas).
+
+    ``seed_url_set`` implements the crawl-type gate F7: for
+    ``single_level``, links are extracted only from seed pages
+    (runner.py:489-491); ``single_page`` extracts none; ``domain``
+    always extracts.
+    """
+    out_schema = T.StructType(list(batch.schema.fields) + FETCH_RESULT_FIELDS)
+    ctype = crawl_type.value
+    seeds = seed_url_set or frozenset()
+
+    def _fetch(iterator):
+        for pdf in iterator:
+            errors, markdowns, hashes, links_col, n_images = [], [], [], [], []
+            for url in pdf["url"]:
+                html, err = synthetic_web.fetch_page(url, seed)
+                if err is not None:
+                    errors.append(err)
+                    markdowns.append(None)
+                    hashes.append(None)
+                    links_col.append(None)
+                    n_images.append(0)
+                    continue
+                extract_here = ctype == "domain" or (
+                    ctype == "single_level" and url in seeds
+                )
+                links = (
+                    policy.extract_links(url, html, ctype) if extract_here else []
+                )
+                # error branches AFTER link extraction — parity with the
+                # reference, which queues children before the crash-marker
+                # check (runner.py:493-514)
+                if not html:
+                    errors.append("No data was fetched")
+                    markdowns.append(None)
+                    hashes.append(None)
+                    links_col.append(links)
+                    n_images.append(0)
+                    continue
+                if policy.NEXTJS_CLIENT_ERROR_MARKER in html:
+                    errors.append(
+                        "Next.js client-side application error page detected"
+                    )
+                    markdowns.append(None)
+                    hashes.append(None)
+                    links_col.append(links)
+                    n_images.append(0)
+                    continue
+                md = synthetic_web.page_markdown(url, seed)
+                errors.append(None)
+                markdowns.append(md)
+                hashes.append(hashlib.sha256(md.encode("utf-8")).hexdigest())
+                links_col.append(links)
+                n_images.append(synthetic_web.page_image_count(url, seed))
+            pdf = pdf.copy()
+            pdf["fetch_error"] = pd.Series(errors, dtype=object)
+            pdf["markdown"] = pd.Series(markdowns, dtype=object)
+            pdf["content_hash"] = pd.Series(hashes, dtype=object)
+            pdf["links"] = pd.Series(links_col, dtype=object)
+            pdf["n_images"] = pd.Series(n_images, dtype="int32")
+            yield pdf
+
+    return batch.mapInPandas(_fetch, out_schema)
+
+
+def child_candidates(
+    fetched: DataFrame, run: str, superstep: int, tick: int, num_buckets: int
+) -> DataFrame:
+    """E1/E2: explode per-page links into frontier candidate rows.
+
+    Links are already canonicalized and same-host-filtered by
+    policy.extract_links inside the fetch UDF. Candidates carry depth =
+    parent.depth + 1 (runner.py:503-508 — no re-lookup: the value rides
+    the row, unlike the reference's ``get_url_depth`` re-read) and the
+    composite queued_seq described in the module docstring. In-batch
+    duplicate discoveries resolve to the smallest queued_seq (first
+    discovery wins — deterministic).
+    """
+    exploded = (
+        fetched.filter(F.col("links").isNotNull() & (F.size("links") > 0))
+        .select(
+            F.col("depth").alias("parent_depth"),
+            F.col("parent_rank"),
+            F.posexplode("links").alias("link_pos", "url"),
+        )
+    )
+    seq = (
+        F.lit(superstep << SEQ_SUPERSTEP_SHIFT).cast("long")
+        + F.shiftleft(F.col("parent_rank").cast("long"), SEQ_PARENT_SHIFT)
+        + F.col("link_pos").cast("long")
+    )
+    candidates = exploded.select(
+        F.lit(run).alias("run"),
+        F.col("url"),
+        (F.col("parent_depth") + 1).alias("depth"),
+        seq.alias("queued_seq"),
+    )
+    # first discovery wins within the batch (min queued_seq per url);
+    # depth is the *winning discoverer's* depth, exactly like the
+    # reference's INSERT OR IGNORE first-insert-wins
+    candidates = candidates.groupBy("run", "url").agg(
+        F.min_by("depth", "queued_seq").alias("depth"),
+        F.min("queued_seq").alias("queued_seq"),
+    )
+    return (
+        candidates.withColumn("url_hash", url_hash_col(F.col("url")))
+        .withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
+        .withColumn("host_salt", host_salt_col(F.col("host"), num_buckets))
+        .withColumn("queued_at", F.lit(tick).cast("long"))
+    )

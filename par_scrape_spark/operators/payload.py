@@ -1,0 +1,78 @@
+"""Image payload pipeline: fetch images, decode/normalize, phash.
+
+Fetched pages yield image+caption rows appended to the payload table
+(BASELINE.json::input_hint shape). Two Arrow-batch stages, no per-row
+Python at the DataFrame layer:
+
+1. ``fetch_images`` — mapInPandas, 1 page → N image rows. The synthetic
+   generator is the sandbox stand-in for the reference's artifact save
+   (/root/reference/src/par_scrape/scrape_data.py:17-38); a real crawler
+   would emit the page's downloaded image bytes here.
+2. ``decode_and_phash`` — Arrow-batch pandas UDF over ``(bytes, fmt)``:
+   decodes with the engine codec (functions/image.py), normalizes, and
+   computes the 64-bit DCT perceptual hash used by the near-dup join J8.
+   Undecodable rows get phash NULL rather than failing the task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from par_scrape_spark.functions.image import decode_image, phash64
+from par_scrape_spark.sources import synthetic_web
+
+_IMAGE_FIELDS = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("run", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("fetched_at", T.LongType()),
+    ]
+)
+
+
+def fetch_images(ok_pages: DataFrame, run: str, seed: int, tick: int) -> DataFrame:
+    """1 page → N image rows (mapInPandas over (url) of completed pages)."""
+
+    def _gen(iterator):
+        for pdf in iterator:
+            rows = []
+            for url in pdf["url"]:
+                for img in synthetic_web.page_images(url, seed):
+                    img = dict(img)
+                    img["run"] = run
+                    img["url"] = url
+                    img["fetched_at"] = tick
+                    rows.append(img)
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in _IMAGE_FIELDS.fields])
+
+    return ok_pages.select("url").mapInPandas(_gen, _IMAGE_FIELDS)
+
+
+@F.pandas_udf(T.LongType())
+def phash_udf(data: pd.Series, fmt: pd.Series) -> pd.Series:
+    """Arrow-batch decode + perceptual hash; NULL when undecodable."""
+    out = np.empty(len(data), dtype=object)
+    for i, (b, f) in enumerate(zip(data, fmt)):
+        try:
+            out[i] = phash64(decode_image(bytes(b), f))
+        except Exception:
+            out[i] = None
+    return pd.Series(out)
+
+
+def decode_and_phash(images: DataFrame) -> DataFrame:
+    """Attach the phash column (C13) to image rows."""
+    return images.withColumn("phash", phash_udf(F.col("bytes"), F.col("fmt"))).select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "run", "url", "fetched_at"
+    )

@@ -1,0 +1,99 @@
+"""Robots.txt gating (E3) — batched per host, fail-open.
+
+The reference checks robots.txt inline per extracted link with a
+process-lifetime in-memory cache (/root/reference/src/par_scrape/
+robots.py:12-65, links.py:148-151) — a network call inside the link
+loop. Distributed, the rules live in the ``politeness`` table (fetched
+once per host, persisted — surviving restarts, which the reference's
+cache does not), and the gate is one broadcast join plus a vectorized
+pandas UDF evaluating the stored rules.
+
+Fail-open parity (robots.py:50-56): hosts whose robots.txt could not be
+fetched carry ``allow_all=True`` and permit everything.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from par_scrape_spark import policy
+from par_scrape_spark.sources import synthetic_web
+
+
+def fetch_robots_for_hosts(hosts: DataFrame, seed: int) -> DataFrame:
+    """S8: fetch robots.txt for each distinct host (synthetic in sandbox).
+
+    Returns (host, robots_rules, robots_fetched, allow_all).
+    """
+    schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("robots_rules", T.StringType()),
+            T.StructField("robots_fetched", T.BooleanType()),
+            T.StructField("allow_all", T.BooleanType()),
+        ]
+    )
+
+    def _fetch(iterator):
+        for pdf in iterator:
+            rules_col, fetched_col, allow_col = [], [], []
+            for host in pdf["host"]:
+                rules, fetched = synthetic_web.robots_txt(host, seed)
+                rules_col.append(rules if fetched else None)
+                fetched_col.append(fetched)
+                allow_col.append(not fetched)  # fail-open
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "robots_rules": pd.Series(rules_col, dtype=object),
+                    "robots_fetched": fetched_col,
+                    "allow_all": allow_col,
+                }
+            )
+
+    return hosts.select("host").distinct().mapInPandas(_fetch, schema)
+
+
+@F.pandas_udf(T.BooleanType())
+def robots_allows_udf(rules: pd.Series, allow_all: pd.Series, url: pd.Series) -> pd.Series:
+    """Vectorized rules evaluation; parser instances cached per batch."""
+    import urllib.robotparser
+
+    cache: dict[str, urllib.robotparser.RobotFileParser] = {}
+    out = []
+    for r, a, u in zip(rules, allow_all, url):
+        if a or r is None or r == "":
+            out.append(True)
+            continue
+        rp = cache.get(r)
+        if rp is None:
+            rp = urllib.robotparser.RobotFileParser()
+            rp.parse(r.splitlines())
+            cache[r] = rp
+        try:
+            out.append(bool(rp.can_fetch("*", u)))
+        except Exception:
+            out.append(True)
+    return pd.Series(out)
+
+
+def robots_gate(
+    candidates: DataFrame, politeness: DataFrame, respect_robots: bool
+) -> DataFrame:
+    """Attach ``robots_allowed`` to candidate rows via a broadcast join of
+    the per-host rules. Unknown hosts default to allowed (fail-open)."""
+    if not respect_robots:
+        return candidates.withColumn("robots_allowed", F.lit(True))
+    rules = politeness.select("host", "robots_rules", "allow_all")
+    joined = candidates.join(F.broadcast(rules), "host", "left")
+    return joined.withColumn(
+        "robots_allowed",
+        robots_allows_udf(
+            F.col("robots_rules"),
+            F.coalesce(F.col("allow_all"), F.lit(True)),
+            F.col("url"),
+        ),
+    ).drop("robots_rules", "allow_all")

@@ -1,0 +1,102 @@
+"""Frontier scheduler: politeness-gated, one-URL-per-host batch selection.
+
+The reference scheduler (/root/reference/src/par_scrape/queue_db.py:358-466)
+is a procedural loop, but semantically it is ONE windowed ranking query
+(SURVEY §2.5). This module states it declaratively:
+
+1. eligibility (F8, queue_db.py:400-401):
+   ``status='queued' OR (status='error' AND attempts < retries)``
+2. politeness join (J1, queue_db.py:395-406): frontier ⋈ politeness on
+   host — broadcast hash join (the politeness table is host-cardinality,
+   far smaller than the frontier)
+3. candidate pool (queue_db.py:393): top ``max(batch*25, 100)`` rows by
+   ``(last_access ASC, queued_seq ASC)`` — Spark compiles the
+   orderBy+limit to TakeOrderedAndProject (per-partition top-k, no full
+   sort; this is the reference's over-fetch made distribution-aware, W3)
+4. rate gate (F9, queue_db.py:416-418): host eligible when
+   ``last_access == 0 OR tick - last_access >= crawl_delay`` — the
+   reference applies this after the pool cut, so we do too (parity)
+5. one-per-host (W1, queue_db.py:413-414):
+   ``row_number() over (partition by host order by queued_seq) == 1``
+6. batch cap (W2, queue_db.py:434-435): hosts ordered by
+   ``(last_access, first queued_seq)``, first ``batch`` taken.
+
+Every tie is broken by ``queued_seq`` — the engine's deterministic
+insertion sequence — so selection order is a pure function of state
+(north_rule bit-for-bit replay; the reference's implicit tiebreak is
+SQLite rowid scan order, which our ``queued_seq`` mirrors by
+construction).
+
+Time is the logical superstep tick, never wall clock.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from par_scrape_spark.config import CANDIDATE_POOL_FACTOR, CANDIDATE_POOL_MIN, PageStatus
+
+
+def eligible_rows(frontier: DataFrame, run: str, retries: int) -> DataFrame:
+    """F8: queued rows plus retryable errored rows."""
+    return frontier.filter(
+        (F.col("run") == run)
+        & (
+            (F.col("status") == PageStatus.QUEUED.value)
+            | (
+                (F.col("status") == PageStatus.ERROR.value)
+                & (F.col("attempts") < retries)
+            )
+        )
+    )
+
+
+def select_batch(
+    frontier: DataFrame,
+    politeness: DataFrame,
+    run: str,
+    tick: int,
+    batch_size: int,
+    retries: int = 3,
+    respect_rate_limits: bool = True,
+) -> DataFrame:
+    """Select the next batch. Returns the chosen frontier rows plus
+    ``last_access``, ``crawl_delay``, and ``parent_rank`` (0-based batch
+    position, the deterministic input to child queued_seq assignment)."""
+    eligible = eligible_rows(frontier, run, retries)
+
+    if not respect_rate_limits:
+        pool = eligible.orderBy("queued_seq").limit(batch_size)
+        w = Window.orderBy("queued_seq")
+        return (
+            pool.withColumn("parent_rank", F.row_number().over(w) - 1)
+            .withColumn("last_access", F.lit(0).cast("long"))
+            .withColumn("crawl_delay", F.lit(1))
+        )
+
+    pol = politeness.select("host", "last_access", "crawl_delay")
+    joined = eligible.join(F.broadcast(pol), "host", "left").fillna(
+        {"last_access": 0, "crawl_delay": 1}
+    )
+
+    pool_size = max(batch_size * CANDIDATE_POOL_FACTOR, CANDIDATE_POOL_MIN)
+    pool = joined.orderBy("last_access", "priority", "queued_seq").limit(pool_size)
+
+    gated = pool.filter(
+        (F.col("last_access") == 0)
+        | (F.lit(tick) - F.col("last_access") >= F.col("crawl_delay"))
+    )
+
+    per_host = Window.partitionBy("host").orderBy("priority", "queued_seq")
+    first_per_host = (
+        gated.withColumn("_hrn", F.row_number().over(per_host))
+        .filter(F.col("_hrn") == 1)
+        .drop("_hrn")
+    )
+
+    batch_order = Window.orderBy("last_access", "priority", "queued_seq")
+    return (
+        first_per_host.withColumn("parent_rank", F.row_number().over(batch_order) - 1)
+        .filter(F.col("parent_rank") < batch_size)
+    )

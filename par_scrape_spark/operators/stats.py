@@ -1,0 +1,140 @@
+"""Queue inspection & repair operators (A1/A2/A7, J4, O3/O6/O7).
+
+DataFrame re-expressions of the reference's repository helpers
+(/root/reference/src/par_scrape/queue_db.py) and queue CLI
+(queue_cli.py:30-119). Each returns a DataFrame; callers commit the
+result where the operator is a mutation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from par_scrape_spark.config import ERROR_MESSAGE_MAX_LEN, PageStatus
+
+ALL_STATUSES = [s.value for s in PageStatus]
+
+
+def queue_stats(frontier: DataFrame, run: str) -> DataFrame:
+    """A1 (queue_db.py:266-289): per-status counts, zero-filled over all
+    four statuses — one groupBy instead of four COUNT(*)s, with the
+    zero-fill done by a right join against the literal status frame."""
+    statuses = frontier.sparkSession.createDataFrame(
+        [(s,) for s in ALL_STATUSES], ["status"]
+    )
+    counts = frontier.filter(F.col("run") == run).groupBy("status").count()
+    return (
+        counts.join(statuses, "status", "right")
+        .select("status", F.coalesce("count", F.lit(0)).alias("n"))
+    )
+
+
+def list_runs(frontier: DataFrame) -> DataFrame:
+    """A2 (queue_db.py:671-689): per-(run, status) counts pivoted to one
+    row per run, zero-filled."""
+    return (
+        frontier.groupBy("run")
+        .pivot("status", ALL_STATUSES)
+        .count()
+        .na.fill(0, ALL_STATUSES)
+    )
+
+
+def run_ok(frontier: DataFrame, run: str) -> bool:
+    """A7 (api.py:64-67): every page completed."""
+    n_bad = (
+        frontier.filter(
+            (F.col("run") == run) & (F.col("status") != PageStatus.COMPLETED.value)
+        ).limit(1).count()
+    )
+    return n_bad == 0
+
+
+def get_run_pages(frontier: DataFrame, run: str) -> DataFrame:
+    """O3 (queue_db.py:692-710): the run's rows ordered by URL."""
+    return (
+        frontier.filter(F.col("run") == run)
+        .select("url", "status", "error_type", "error_msg", "attempts", "file_refs")
+        .orderBy("url")
+    )
+
+
+def find_completed_by_hash(
+    frontier: DataFrame, url: str, content_hash: str, exclude_run: str
+) -> DataFrame:
+    """J4 (queue_db.py:626-668): most recent completed row for
+    (url, content_hash) in another run — equi-filter + top-1 by the
+    insertion sequence (the reference's ORDER BY rowid DESC LIMIT 1)."""
+    w = Window.partitionBy("url", "content_hash").orderBy(F.col("queued_seq").desc())
+    return (
+        frontier.filter(
+            (F.col("url") == url)
+            & (F.col("content_hash") == content_hash)
+            & (F.col("status") == PageStatus.COMPLETED.value)
+            & (F.col("run") != exclude_run)
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("run", "url", "content_hash", "file_refs")
+    )
+
+
+def memo_join(pages: DataFrame, history: DataFrame) -> DataFrame:
+    """J4 batch form (the --if-changed path, runner.py:539-552): join the
+    superstep's completed pages against historical completed rows of
+    *other* runs on (url, content_hash); pick the latest prior row per
+    key. Adds ``prior_file_refs`` (NULL = no reuse)."""
+    hist = history.filter(F.col("status") == PageStatus.COMPLETED.value).select(
+        F.col("run").alias("prior_run"),
+        "url",
+        "content_hash",
+        F.col("file_refs").alias("prior_file_refs"),
+        "queued_seq",
+    )
+    w = Window.partitionBy("url", "content_hash").orderBy(F.col("queued_seq").desc())
+    joined = (
+        pages.alias("p")
+        .join(
+            hist.alias("h"),
+            (F.col("p.url") == F.col("h.url"))
+            & (F.col("p.content_hash") == F.col("h.content_hash"))
+            & (F.col("p.run") != F.col("h.prior_run")),
+            "left",
+        )
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(
+            Window.partitionBy("p.run", "p.url").orderBy(
+                F.col("h.queued_seq").desc_nulls_last()
+            )
+        ))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def requeue_errors(frontier: DataFrame, run: str) -> DataFrame:
+    """O6 (queue_db.py:713-735): reset every errored page of the run to
+    queued, clearing errors and attempts. Returns the *changed rows only*
+    (upsert payload for the snapshot table)."""
+    return (
+        frontier.filter(
+            (F.col("run") == run) & (F.col("status") == PageStatus.ERROR.value)
+        )
+        .withColumn("status", F.lit(PageStatus.QUEUED.value))
+        .withColumn("error_msg", F.lit(None).cast("string"))
+        .withColumn("error_type", F.lit(None).cast("string"))
+        .withColumn("attempts", F.lit(0))
+    )
+
+
+def delete_run(frontier: DataFrame, run: str) -> DataFrame:
+    """O7 (queue_db.py:738-755): frontier with the run's rows removed
+    (caller overwrite-commits)."""
+    return frontier.filter(F.col("run") != run)
+
+
+def truncate_error(msg_col):
+    """F15: bounded error payload."""
+    return F.substring(msg_col, 1, ERROR_MESSAGE_MAX_LEN)

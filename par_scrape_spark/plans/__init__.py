@@ -1,0 +1,1 @@
+"""Crawl plans: the superstep driver loop and checkpointing."""

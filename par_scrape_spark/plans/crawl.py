@@ -1,0 +1,432 @@
+"""The crawl engine: deterministic BFS supersteps over snapshot tables.
+
+The reference's crawl loop (/root/reference/src/par_scrape/runner.py:
+680-785) — stats → select batch → fetch → process → repeat — becomes a
+driver superstep loop (SURVEY §2.9 L1). Each superstep is:
+
+    select (W1-W3, scheduler.py)
+      → fetch + extract (mapInPandas, links.py)
+      → child candidates + robots gate (E1/E3)
+      → seen-set dedup (J2: bloom/cuckoo prune + exact anti-join)
+      → reconcile frontier / politeness / payload / lineage
+      → one atomic multi-table snapshot commit + filter sidecar advance
+      → RUN_STATE.json (written last — the run's atomicity root)
+
+Determinism (north_rule bit-for-bit replay): time is the superstep tick;
+every choice is ordered by ``(last_access, priority, queued_seq)``;
+``queued_seq`` is assigned by shuffle-free column arithmetic
+(links.child_candidates); the synthetic fetch is a pure function of
+``(url, seed)``. tests/test_equivalence.py replays the same config
+through the pure-Python reference-policy simulator and asserts equal
+per-superstep selection sequences and a bit-for-bit equal final seen set.
+
+Within-superstep update ordering (defined here because the reference's
+thread pool leaves it racy — SURVEY §7.3): (1) selection marks,
+(2) error-resets apply only to rows already in ``error`` state before
+the superstep and not selected in it, (3) outcome marks win. This
+reproduces the reference's sequential batch=1 behavior exactly.
+
+Resume (L4): stale ``active`` rows are requeued with attempts preserved
+— the reference leaks them until retry; we define the semantics and test
+them (tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from par_scrape_spark import policy
+from par_scrape_spark.config import (
+    BACKOFF_CAP,
+    BACKOFF_FACTOR,
+    CrawlConfig,
+    PageStatus,
+)
+from par_scrape_spark.functions.errors import classify_error_col
+from par_scrape_spark.functions.urls import output_folder_col, with_url_identity
+from par_scrape_spark.operators import robots as robots_ops
+from par_scrape_spark.operators import scheduler
+from par_scrape_spark.operators.dedup import FilterStore
+from par_scrape_spark.operators.links import child_candidates, fetch_extract
+from par_scrape_spark.operators.payload import decode_and_phash, fetch_images
+from par_scrape_spark.schemas import (
+    FRONTIER_SCHEMA,
+    LINEAGE_SCHEMA,
+    PAYLOAD_SCHEMA,
+    POLITENESS_SCHEMA,
+)
+from par_scrape_spark.tableio import SnapshotTable
+
+FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
+
+def _atomic_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class CrawlEngine:
+    """One crawl run over a warehouse directory; resumable from snapshot."""
+
+    def __init__(self, spark: SparkSession, config: CrawlConfig, warehouse: str):
+        self.spark = spark
+        self.config = config
+        self.warehouse = warehouse
+        root = os.path.join(warehouse, config.run_name)
+        os.makedirs(root, exist_ok=True)
+        self.root = root
+        self.frontier = SnapshotTable(
+            spark, root, "frontier", FRONTIER_SCHEMA,
+            key_cols=["run", "url"], partition_cols=["host_salt"],
+        )
+        self.politeness = SnapshotTable(
+            spark, root, "politeness", POLITENESS_SCHEMA, key_cols=["host"]
+        )
+        self.payload = SnapshotTable(spark, root, "payload", PAYLOAD_SCHEMA)
+        self.lineage = SnapshotTable(spark, root, "lineage", LINEAGE_SCHEMA)
+        self.filters = FilterStore(
+            os.path.join(root, "_filters"),
+            config.bloom_capacity_per_bucket,
+            config.bloom_fpp,
+        )
+        self.state_path = os.path.join(root, "RUN_STATE.json")
+        self.state: dict = {
+            "run": config.run_name,
+            "superstep": 0,
+            "pages": 0,
+            "snapshots": {},
+            "filter_step": None,
+            "done": False,
+            "selected_log": [],
+        }
+
+    # ------------------------------------------------------------ lifecycle
+
+    def state_exists(self) -> bool:
+        return os.path.exists(self.state_path)
+
+    def _commit_state(self) -> None:
+        _atomic_json(self.state_path, self.state)
+
+    def _read_table(self, table: SnapshotTable, name: str) -> DataFrame:
+        return table.read(self.state["snapshots"].get(name))
+
+    def start(self) -> None:
+        """Fresh start: seed the frontier + politeness (reference
+        init_db + add_to_queue + robots fetch, runner.py:668-678), commit
+        superstep 0. On an existing run, resume instead."""
+        if self.state_exists():
+            self.resume()
+            return
+        cfg = self.config
+        raw = [u for u in cfg.seeds if policy.is_valid_url(u)]
+        canon: list[str] = []
+        for u in raw:
+            c = policy.canonicalize_url(u)
+            if c not in canon:
+                canon.append(c)
+        seeds_df = self.spark.createDataFrame(
+            [(cfg.run_name, u, i) for i, u in enumerate(canon)],
+            ["run", "url", "queued_seq"],
+        )
+        seeds_df = with_url_identity(seeds_df, num_buckets=cfg.num_buckets)
+        rows = (
+            seeds_df.withColumn("status", F.lit(PageStatus.QUEUED.value))
+            .withColumn("depth", F.lit(0))
+            .withColumn("attempts", F.lit(0))
+            .withColumn("priority", F.lit(0).cast("long"))
+            .withColumn("queued_at", F.lit(0).cast("long"))
+            .withColumn("queued_seq", F.col("queued_seq").cast("long"))
+        )
+        frontier_rows = self._align_frontier(rows)
+        fsnap = self.frontier.commit_overwrite(frontier_rows)
+
+        hosts = seeds_df.select("host").distinct()
+        robots = robots_ops.fetch_robots_for_hosts(hosts, cfg.web_seed)
+        # initial crawl-delay seeding for seed hosts (runner.py:676-678)
+        delay = cfg.crawl_delay if cfg.crawl_delay > 1 else 1
+        pol = robots.select(
+            "host",
+            F.lit(0).cast("long").alias("last_access"),
+            F.lit(delay).alias("crawl_delay"),
+            "robots_rules",
+            "robots_fetched",
+            "allow_all",
+        )
+        psnap = self.politeness.commit_overwrite(pol)
+
+        self.filters.advance(
+            None, 0, frontier_rows.select("host_salt", "url_hash"), cfg.num_buckets
+        )
+        self.state["snapshots"] = {"frontier": fsnap, "politeness": psnap}
+        self.state["filter_step"] = 0
+        self._commit_state()
+
+    def resume(self) -> None:
+        """Load RUN_STATE.json and requeue stale active rows."""
+        with open(self.state_path) as f:
+            self.state = json.load(f)
+        frontier = self._read_table(self.frontier, "frontier")
+        stale = frontier.filter(
+            (F.col("run") == self.config.run_name)
+            & (F.col("status") == PageStatus.ACTIVE.value)
+        )
+        stale = stale.withColumn("status", F.lit(PageStatus.QUEUED.value))
+        if stale.limit(1).count() > 0:
+            snap = self.frontier.commit_upsert(self._align_frontier(stale))
+            self.state["snapshots"]["frontier"] = snap
+            self._commit_state()
+
+    # ------------------------------------------------------------ helpers
+
+    def _align_frontier(self, df: DataFrame) -> DataFrame:
+        """Project/cast to the exact frontier schema, adding NULL/default
+        columns that are absent."""
+        cols = []
+        present = set(df.columns)
+        for field in FRONTIER_SCHEMA.fields:
+            if field.name in present:
+                cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+            else:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        return df.select(*cols)
+
+    # ------------------------------------------------------------ superstep
+
+    def superstep(self) -> int:
+        """Run one superstep; returns the number of pages selected."""
+        cfg = self.config
+        step = self.state["superstep"] + 1
+        tick = step
+        run = cfg.run_name
+
+        frontier = self._read_table(self.frontier, "frontier").cache()
+        politeness = self._read_table(self.politeness, "politeness").cache()
+
+        selected = scheduler.select_batch(
+            frontier,
+            politeness,
+            run,
+            tick,
+            cfg.crawl_batch_size,
+            cfg.scrape_retries,
+            cfg.respect_rate_limits,
+        ).cache()
+        n_selected = selected.count()
+        if n_selected == 0:
+            self.state["done"] = True
+            self._commit_state()
+            politeness.unpersist()
+            selected.unpersist()
+            frontier.unpersist()
+            return 0
+
+        seed_set = frozenset(
+            policy.canonicalize_url(u) for u in cfg.seeds if policy.is_valid_url(u)
+        )
+        # stale result columns from a prior attempt are recomputed by the
+        # fetch; drop them so the UDF's outputs are unambiguous
+        batch_in = selected.drop("content_hash")
+        fetched = fetch_extract(batch_in, cfg.web_seed, cfg.crawl_type, seed_set).cache()
+
+        candidates = child_candidates(fetched, run, step, tick, cfg.num_buckets)
+        candidates = robots_ops.robots_gate(
+            candidates, politeness, cfg.respect_robots
+        ).cache()
+        allowed = candidates.filter(F.col("robots_allowed")).drop("robots_allowed")
+
+        # J2: exact dedup, bloom/cuckoo-pruned. Survivor check is the
+        # two-step broadcast pattern: semi-join the (huge) frontier keys
+        # against the (small) maybe-set, then anti-join maybe against the
+        # small hit set — the frontier is scanned, never shuffled.
+        frontier_keys = frontier.select("run", "url_hash", "url")
+        probed = self.filters.probe_udf_cols(allowed, self.state.get("filter_step"))
+        definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen").cache()
+        hits = frontier_keys.join(
+            F.broadcast(maybe.select("run", "url_hash", "url")),
+            ["run", "url_hash", "url"],
+            "left_semi",
+        )
+        survivors = maybe.join(
+            F.broadcast(hits), ["run", "url_hash", "url"], "left_anti"
+        )
+        new_rows = definite_new.unionByName(survivors).cache()
+
+        # J3: error-resets — frontier rows already in error state,
+        # rediscovered this superstep, not themselves selected
+        selected_keys = selected.select("run", "url")
+        resets = (
+            frontier.filter(
+                (F.col("run") == run) & (F.col("status") == PageStatus.ERROR.value)
+            )
+            .join(F.broadcast(allowed.select("run", "url")), ["run", "url"], "left_semi")
+            .join(F.broadcast(selected_keys), ["run", "url"], "left_anti")
+            .withColumn("status", F.lit(PageStatus.QUEUED.value))
+            .withColumn("error_msg", F.lit(None).cast("string"))
+            .withColumn("error_type", F.lit(None).cast("string"))
+        )
+
+        # outcome rows for the selected batch
+        is_err = F.col("fetch_error").isNotNull()
+        outcomes = (
+            fetched.withColumn(
+                "status",
+                F.when(is_err, F.lit(PageStatus.ERROR.value)).otherwise(
+                    F.lit(PageStatus.COMPLETED.value)
+                ),
+            )
+            .withColumn(
+                "error_type", F.when(is_err, classify_error_col(F.col("fetch_error")))
+            )
+            .withColumn(
+                "error_msg", F.when(is_err, F.substring("fetch_error", 1, 255))
+            )
+            .withColumn("scraped", F.when(~is_err, F.lit(tick).cast("long")))
+            .withColumn(
+                "file_refs",
+                F.when(
+                    ~is_err,
+                    F.create_map(
+                        F.lit("md"), output_folder_col(F.col("run"), F.col("url"))
+                    ),
+                ),
+            )
+            .withColumn("last_processed_at", F.lit(tick).cast("long"))
+            .withColumn("attempts", F.col("attempts") + 1)
+            .withColumn("cost", F.coalesce(F.col("cost"), F.lit(0.0)))
+        )
+
+        new_frontier_rows = (
+            new_rows.withColumn("status", F.lit(PageStatus.QUEUED.value))
+            .withColumn("attempts", F.lit(0))
+            .withColumn("priority", F.lit(0).cast("long"))
+        )
+
+        upsert = (
+            self._align_frontier(outcomes)
+            .unionByName(self._align_frontier(resets))
+            .unionByName(self._align_frontier(new_frontier_rows))
+        )
+
+        # politeness reconciliation: selected hosts advance last_access;
+        # network/timeout errors double the host's crawl delay (E4/C9)
+        sel_hosts = selected.select("host").distinct().withColumn("_sel", F.lit(True))
+        err_hosts = (
+            outcomes.filter(F.col("error_type").isin("network", "timeout"))
+            .select("host")
+            .distinct()
+            .withColumn("_err", F.lit(True))
+        )
+        pol_new = (
+            politeness.join(F.broadcast(sel_hosts), "host", "left")
+            .join(F.broadcast(err_hosts), "host", "left")
+            .withColumn(
+                "last_access",
+                F.when(F.col("_sel"), F.lit(tick).cast("long")).otherwise(
+                    F.col("last_access")
+                ),
+            )
+            .withColumn(
+                "crawl_delay",
+                F.when(
+                    F.col("_err"),
+                    F.least(
+                        F.col("crawl_delay") * BACKOFF_FACTOR, F.lit(BACKOFF_CAP)
+                    ),
+                ).otherwise(F.col("crawl_delay")),
+            )
+            .drop("_sel", "_err")
+        )
+
+        # payload: image rows for completed pages, decoded + phashed
+        ok_pages = fetched.filter(~is_err)
+        images = decode_and_phash(
+            fetch_images(ok_pages, run, cfg.web_seed, tick)
+        )
+
+        # lineage counters per host bucket (A4 / north_rule)
+        def _agg(df, name):
+            return df.groupBy("host_salt").agg(F.count("*").alias(name))
+
+        lineage = (
+            _agg(selected, "selected")
+            .join(_agg(ok_pages, "fetched_ok"), "host_salt", "full")
+            .join(_agg(fetched.filter(is_err), "errors"), "host_salt", "full")
+            .join(
+                _agg(candidates.filter(~F.col("robots_allowed")), "robots_denied"),
+                "host_salt",
+                "full",
+            )
+            .join(_agg(new_rows, "new_urls"), "host_salt", "full")
+            .join(
+                ok_pages.groupBy("host_salt").agg(F.sum("n_images").alias("images")),
+                "host_salt",
+                "full",
+            )
+        )
+        n_allowed_by_salt = _agg(allowed, "_n_allowed")
+        lineage = (
+            lineage.join(n_allowed_by_salt, "host_salt", "full")
+            .na.fill(0)
+            .withColumn("dedup_hits", F.col("_n_allowed") - F.col("new_urls"))
+            .drop("_n_allowed")
+            .withColumn("run", F.lit(run))
+            .withColumn("superstep", F.lit(step).cast("long"))
+            .select([f.name for f in LINEAGE_SCHEMA.fields])
+        )
+
+        # ---- commits (multi-table; RUN_STATE.json pins the snapshot set)
+        fsnap = self.frontier.commit_upsert(upsert)
+        if self.frontier.delta_count() >= cfg.compact_every:
+            fsnap = self.frontier.compact()
+        psnap = self.politeness.commit_overwrite(pol_new)
+        paysnap = self.payload.commit_append(images)
+        lsnap = self.lineage.commit_append(lineage)
+
+        prev_fstep = self.state.get("filter_step")
+        self.filters.advance(
+            prev_fstep, step, new_rows.select("host_salt", "url_hash"), cfg.num_buckets
+        )
+
+        if cfg.log_selection:
+            sel_urls = [
+                r["url"]
+                for r in selected.orderBy("parent_rank").select("url").collect()
+            ]
+            self.state["selected_log"].append(sel_urls)
+        self.state.update(
+            {
+                "superstep": step,
+                "pages": self.state["pages"] + n_selected,
+                "snapshots": {
+                    "frontier": fsnap,
+                    "politeness": psnap,
+                    "payload": paysnap,
+                    "lineage": lsnap,
+                },
+                "filter_step": step,
+            }
+        )
+        self._commit_state()
+
+        for df in (selected, fetched, candidates, maybe, new_rows, politeness, frontier):
+            df.unpersist()
+        return n_selected
+
+    def run(self) -> dict:
+        """The crawl loop (runner.py:680-785): supersteps until the
+        frontier drains or the page budget is hit."""
+        self.start()
+        while self.state["pages"] < self.config.crawl_max_pages and not self.state["done"]:
+            if self.superstep() == 0:
+                break
+        return self.state

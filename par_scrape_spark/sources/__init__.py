@@ -1,0 +1,1 @@
+"""Data sources: the deterministic synthetic web (sandbox fetch)."""

@@ -1,0 +1,246 @@
+"""Deterministic synthetic web: pages, images, robots — pure functions.
+
+Replaces the reference's live browser fetch (``fetch_url`` call site,
+/root/reference/src/par_scrape/runner.py:714-724) in the sandbox: every
+page, image, and robots.txt body is a pure function of ``(url, seed)``,
+so a crawl is replayable bit-for-bit (north_rule) and the fetch UDF is
+embarrassingly parallel. In a real deployment the same ``mapInPandas``
+slot holds an async HTTP client per partition; nothing upstream or
+downstream changes.
+
+The graph is designed to exercise every reference code path:
+- per-host page tree (BFS children) plus a cycle edge (duplicate
+  discoveries → dedup J2),
+- boilerplate links (/login, /feed, *.png ...) → exclusion filters F2/F3,
+- javascript:/mailto:/fragment-only hrefs → F4/F5,
+- off-host links → same-host gate F6,
+- hosts with robots Disallow rules, hosts whose robots.txt "fails to
+  fetch" (fail-open, robots.py:50-56),
+- unreachable hosts (network error), timeout hosts, ~1% Next.js crash
+  pages (runner.py:75,513-514), rare empty pages,
+- 1-5 image+caption payloads per page (input_hint shape), ~1% near-dup
+  images (same pixels re-encoded) for phash dedup J8.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+from par_scrape_spark.functions.image import encode_image
+from par_scrape_spark.policy import NEXTJS_CLIENT_ERROR_MARKER
+
+_SIZES = (32, 64, 128)
+
+
+def h64(seed: int, *parts: str) -> int:
+    """Deterministic 64-bit hash of (seed, *parts)."""
+    hsh = hashlib.blake2b(digest_size=8)
+    hsh.update(str(seed).encode())
+    for p in parts:
+        hsh.update(b"\x00")
+        hsh.update(p.encode())
+    return struct.unpack(">Q", hsh.digest())[0]
+
+
+def _split_url(url: str) -> tuple[str, str]:
+    rest = url.split("://", 1)[1] if "://" in url else url
+    host, _, path = rest.partition("/")
+    return host.lower(), "/" + path
+
+
+# ------------------------------------------------------------- host model
+
+
+def host_page_count(host: str, seed: int) -> int:
+    """Pages per host: 20-49; hosts named hot-* get 500 (skew exercise)."""
+    if host.startswith("hot-"):
+        return 500
+    return 20 + h64(seed, "pages", host) % 30
+
+
+def host_flavor(host: str, seed: int) -> int:
+    return h64(seed, "flavor", host) % 10
+
+
+def host_unreachable(host: str, seed: int) -> str | None:
+    """Return an error message when the whole host is down, else None."""
+    flavor = host_flavor(host, seed)
+    if flavor == 7:
+        return "connection refused"
+    if flavor == 8:
+        return "request timed out"
+    return None
+
+
+def robots_txt(host: str, seed: int) -> tuple[str | None, bool]:
+    """(rules_body, fetched). ``(None, False)`` = fetch failed → fail-open."""
+    flavor = host_flavor(host, seed)
+    if flavor in (0, 1, 2):
+        return "User-agent: *\nDisallow: /private\n", True
+    if flavor == 3:
+        return None, False  # unreachable robots.txt → allow_all
+    return "", True
+
+
+# ------------------------------------------------------------- page model
+
+
+def page_links_raw(url: str, seed: int) -> list[str]:
+    """Raw hrefs as they appear in the page HTML, in document order."""
+    host, path = _split_url(url)
+    n_pages = host_page_count(host, seed)
+    flavor = host_flavor(host, seed)
+    hrefs: list[str] = []
+    if path in ("", "/"):
+        breadth = min(n_pages, 6)
+        hrefs += [f"/page/{i}" for i in range(breadth)]
+    elif path.startswith("/page/"):
+        try:
+            i = int(path.split("/")[2])
+        except (IndexError, ValueError):
+            i = 0
+        for child in (2 * i + 1, 2 * i + 2):
+            if child < n_pages:
+                hrefs.append(f"/page/{child}")
+        hrefs.append(f"/page/{(i + 1) % n_pages}")  # cycle edge → dedup hit
+        if flavor in (0, 1, 2):
+            hrefs.append(f"/private/{i % 3}")  # robots-disallowed target
+    elif path.startswith("/private/"):
+        hrefs.append("/")
+    # universal noise links exercising the filters
+    hrefs += [
+        "/login",
+        "/feed",
+        "/assets/logo.png",
+        "javascript:void(0)",
+        "mailto:owner@" + host,
+        "#top",
+        f"http://offsite-{h64(seed, 'off', host) % 97}.example/page/0",
+    ]
+    return hrefs
+
+
+def page_text(url: str, seed: int) -> str:
+    """Deterministic body text; some pages carry the crash marker."""
+    page_h = h64(seed, "page", url)
+    if page_h % 100 == 13:
+        return NEXTJS_CLIENT_ERROR_MARKER
+    host, path = _split_url(url)
+    words = [f"w{(page_h >> (4 * i)) % 1000:03d}" for i in range(8)]
+    return f"Content of {host}{path}: " + " ".join(words) + f" price {page_h % 997}"
+
+
+def page_html(url: str, seed: int) -> str:
+    """Full page HTML. Empty string for the rare empty-fetch page."""
+    page_h = h64(seed, "page", url)
+    if page_h % 100 == 17:
+        return ""
+    anchors = "\n".join(
+        f'<a href="{href}">link</a>' for href in page_links_raw(url, seed)
+    )
+    imgs = "\n".join(f'<img src="/img/{i}.bin">' for i in range(page_image_count(url, seed)))
+    return f"<html><body><p>{page_text(url, seed)}</p>\n{anchors}\n{imgs}</body></html>"
+
+
+def page_markdown(url: str, seed: int) -> str:
+    """The page's "converted markdown" (html_to_markdown analogue,
+    runner.py:518): body text plus a nav link-farm block (prune_markdown
+    exercise) plus image references."""
+    host, path = _split_url(url)
+    nav = "\n".join(f"- [nav](/{p})" for p in ("login", "about", "feed", "rss", "contact"))
+    imgs = "\n".join(
+        f"![{caption}](/img/{i}.bin)"
+        for i, caption in enumerate(page_captions(url, seed))
+    )
+    return f"# {host}{path}\n\n{nav}\n\n{page_text(url, seed)}\n\n{imgs}\n"
+
+
+# ------------------------------------------------------------- image model
+
+
+def page_image_count(url: str, seed: int) -> int:
+    return 1 + h64(seed, "imgcount", url) % 5
+
+
+def _image_source_key(url: str, idx: int, seed: int) -> str:
+    """~1% of images share a source with another image (near-dup pool)."""
+    k = h64(seed, "dup", url, str(idx))
+    if k % 100 == 0:
+        return f"pool/{k % 32}"
+    return f"{url}#{idx}"
+
+
+def _render_pixels(source_key: str, w: int, h: int, seed: int) -> np.ndarray:
+    """Smooth deterministic pixels (gradients + waves) from the source key."""
+    k = h64(seed, "pixels", source_key)
+    y = np.arange(h, dtype=np.float64)[:, None]
+    x = np.arange(w, dtype=np.float64)[None, :]
+    a, b, c, d = (k >> 8) % 7 + 1, (k >> 16) % 5 + 1, (k >> 24) % 255, (k >> 32) % 255
+    img = (
+        128
+        + 60 * np.sin(a * np.pi * x / w + c / 40.0)
+        + 60 * np.cos(b * np.pi * y / h + d / 40.0)
+    )
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def page_captions(url: str, seed: int) -> list[str]:
+    host, path = _split_url(url)
+    return [
+        f"Image {i} on {host}{path}"
+        for i in range(page_image_count(url, seed))
+    ]
+
+
+def page_images(url: str, seed: int) -> list[dict]:
+    """All image payload rows for a page (input_hint column shape)."""
+    host, path = _split_url(url)
+    out = []
+    for i in range(page_image_count(url, seed)):
+        src = _image_source_key(url, i, seed)
+        k = h64(seed, "geom", src)
+        w = _SIZES[k % 3]
+        hh = _SIZES[(k >> 8) % 3]
+        fmt = "qdct" if (k >> 16) % 10 < 2 else "png"
+        # near-dup pool images get re-encoded per page (fmt may differ) but
+        # share source pixels → near-identical phash after decode
+        if src.startswith("pool/"):
+            fmt = "qdct" if h64(seed, "refmt", url, str(i)) % 2 else "png"
+        pixels = _render_pixels(src, w, hh, seed)
+        data = encode_image(pixels, fmt)
+        image_id = "img-" + hashlib.sha256(
+            f"{seed}|{url}|{i}".encode()
+        ).hexdigest()[:16]
+        out.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": w,
+                "h": hh,
+                "fmt": fmt,
+                "caption": f"Image {i} on {host}{path}",
+            }
+        )
+    return out
+
+
+# ------------------------------------------------------------- fetch facade
+
+
+def fetch_page(url: str, seed: int) -> tuple[str | None, str | None]:
+    """(html, error_msg) for one URL — the sandbox ``fetch_url``."""
+    host, _ = _split_url(url)
+    err = host_unreachable(host, seed)
+    if err is not None:
+        return None, err
+    return page_html(url, seed), None
+
+
+def seed_urls(seed: int, n_hosts: int, hot_hosts: int = 0) -> list[str]:
+    """Seed list for benches/tests: one root URL per synthetic host."""
+    urls = [f"http://site-{i:05d}.example" for i in range(n_hosts)]
+    urls += [f"http://hot-{i:03d}.example" for i in range(hot_hosts)]
+    return urls

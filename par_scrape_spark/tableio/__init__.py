@@ -1,0 +1,5 @@
+"""Snapshot table abstraction (Iceberg-shaped; Parquet+manifest fallback)."""
+
+from par_scrape_spark.tableio.manifest import SnapshotTable
+
+__all__ = ["SnapshotTable"]

@@ -1,0 +1,75 @@
+"""Manual end-to-end crawl debug: engine vs simulator on a small web."""
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from par_scrape_spark.config import CrawlConfig, CrawlType
+from par_scrape_spark.plans.crawl import CrawlEngine
+from par_scrape_spark.session import get_spark
+from par_scrape_spark.simulator import simulate
+
+seeds = tuple(
+    f"http://site-{i:05d}.example" for i in range(6)
+)
+cfg = CrawlConfig(
+    run_name="dbg",
+    seeds=seeds,
+    crawl_type=CrawlType.DOMAIN,
+    crawl_batch_size=4,
+    crawl_max_pages=40,
+    web_seed=42,
+)
+
+sim = simulate(cfg)
+print("SIM pages:", sim.pages, "supersteps:", sim.superstep)
+print("SIM frontier size:", len(sim.frontier))
+for i, sel in enumerate(sim.selected_log[:6]):
+    print(f"  sim step {i+1}: {sel}")
+
+spark = get_spark(master="local[4]", shuffle_partitions=4)
+wh = tempfile.mkdtemp(prefix="crawl_dbg_")
+try:
+    eng = CrawlEngine(spark, cfg, wh)
+    state = eng.run()
+    print("ENG pages:", state["pages"], "supersteps:", state["superstep"])
+    for i, sel in enumerate(state["selected_log"][:6]):
+        print(f"  eng step {i+1}: {sel}")
+
+    ok = True
+    if len(state["selected_log"]) != len(sim.selected_log):
+        print("MISMATCH: superstep count", len(state["selected_log"]), len(sim.selected_log))
+        ok = False
+    for i, (a, b) in enumerate(zip(state["selected_log"], sim.selected_log)):
+        if a != b:
+            print(f"MISMATCH step {i+1}:\n  eng={a}\n  sim={b}")
+            ok = False
+            break
+    frontier = eng.frontier.read(state["snapshots"]["frontier"])
+    rows = {
+        r["url"]: (r["status"], r["depth"], r["attempts"], r["queued_seq"], r["error_type"])
+        for r in frontier.collect()
+    }
+    sim_rows = {
+        u: (r.status, r.depth, r.attempts, r.queued_seq, r.error_type)
+        for u, r in sim.frontier.items()
+    }
+    if set(rows) != set(sim_rows):
+        print("SEEN-SET MISMATCH")
+        print(" only eng:", sorted(set(rows) - set(sim_rows))[:10])
+        print(" only sim:", sorted(set(sim_rows) - set(rows))[:10])
+        ok = False
+    else:
+        diffs = [(u, rows[u], sim_rows[u]) for u in rows if rows[u] != sim_rows[u]]
+        if diffs:
+            print("ROW MISMATCHES:", len(diffs))
+            for d in diffs[:10]:
+                print("  ", d)
+            ok = False
+    print("EQUIVALENT" if ok else "NOT EQUIVALENT")
+    sys.exit(0 if ok else 1)
+finally:
+    shutil.rmtree(wh, ignore_errors=True)

@@ -1,0 +1,35 @@
+"""Verification drive: consume the driver contract the way the driver
+does, then probe error paths."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from par_scrape_spark.session import get_spark
+
+spark = get_spark(master="local[4]", shuffle_partitions=4)
+
+# 1. entry() smoke — the driver's t1 check
+df = entrymod.entry(spark)
+rows = df.collect()
+print("entry rows:", len(rows), "schema:", df.schema.simpleString())
+print("first 3:", [tuple(r) for r in rows[:3]])
+
+# 2. entry() twice — deterministic?
+rows2 = entrymod.entry(spark).collect()
+print("entry deterministic:", rows == rows2)
+
+# 3. probe: a query pointed at a nonexistent sf_dir
+try:
+    entrymod.queries()["a1_status_counts"](spark, "/nonexistent/sfX").collect()
+    print("bad sf_dir: NO ERROR (unexpected)")
+except Exception as e:
+    print("bad sf_dir -> clean error:", type(e).__name__, str(e).split("\n")[0][:100])
+
+# 4. probe: every oracle name has a matching query
+qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+missing = [k for k in os_ if k not in qs]
+print("oracle keys without query fn:", missing)
+print("queries:", len(qs), "oracles:", len(os_))

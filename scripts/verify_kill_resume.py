@@ -1,0 +1,94 @@
+"""Verification probe: SIGKILL a crawl mid-run, resume in a fresh
+process, compare against an uninterrupted run.
+
+Usage:
+  python scripts/verify_kill_resume.py child <warehouse>   # killed victim
+  python scripts/verify_kill_resume.py main                # orchestrator
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from par_scrape_spark.config import CrawlConfig, CrawlType
+
+
+def cfg():
+    return CrawlConfig(
+        run_name="kr",
+        seeds=tuple(f"http://site-{i:05d}.example" for i in range(4)),
+        crawl_type=CrawlType.DOMAIN,
+        crawl_batch_size=3,
+        crawl_max_pages=12,
+        web_seed=42,
+    )
+
+
+def final_rows(spark, wh):
+    from par_scrape_spark.plans.crawl import CrawlEngine
+
+    eng = CrawlEngine(spark, cfg(), wh)
+    state = eng.run()
+    frontier = eng.frontier.read(state["snapshots"]["frontier"])
+    rows = {
+        r["url"]: (r["status"], r["depth"], r["attempts"], r["queued_seq"])
+        for r in frontier.collect()
+    }
+    return state, rows
+
+
+if sys.argv[1] == "child":
+    from par_scrape_spark.plans.crawl import CrawlEngine
+    from par_scrape_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    eng = CrawlEngine(spark, cfg(), sys.argv[2])
+    eng.run()  # parent kills us before this finishes
+    sys.exit(0)
+
+# orchestrator
+from par_scrape_spark.session import get_spark  # noqa: E402
+
+wh_ref = tempfile.mkdtemp(prefix="kr_ref_")
+wh_victim = tempfile.mkdtemp(prefix="kr_victim_")
+
+child = subprocess.Popen(
+    [sys.executable, os.path.abspath(__file__), "child", wh_victim],
+    stdout=subprocess.DEVNULL,
+    stderr=subprocess.DEVNULL,
+)
+# wait until the victim has committed at least one superstep, then SIGKILL
+state_path = os.path.join(wh_victim, "kr", "RUN_STATE.json")
+deadline = time.time() + 240
+killed_at = None
+while time.time() < deadline:
+    if os.path.exists(state_path):
+        import json
+
+        with open(state_path) as f:
+            st = json.load(f)
+        if st.get("superstep", 0) >= 1:
+            child.send_signal(signal.SIGKILL)
+            killed_at = st["superstep"]
+            break
+    time.sleep(0.5)
+child.wait()
+print("killed child at superstep:", killed_at)
+assert killed_at is not None, "child never committed a superstep"
+
+spark = get_spark(master="local[4]", shuffle_partitions=4)
+state_ref, rows_ref = final_rows(spark, wh_ref)
+state_res, rows_res = final_rows(spark, wh_victim)  # resumes + finishes
+
+print("ref  selected_log supersteps:", len(state_ref["selected_log"]))
+print("res  selected_log supersteps:", len(state_res["selected_log"]))
+print("selection order equal:", state_res["selected_log"] == state_ref["selected_log"])
+print("final frontier equal:", rows_res == rows_ref)
+assert state_res["selected_log"] == state_ref["selected_log"]
+assert rows_res == rows_ref
+print("KILL-RESUME OK")

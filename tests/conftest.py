@@ -1,0 +1,17 @@
+"""Shared fixtures: one session-scoped local SparkSession."""
+
+from __future__ import annotations
+
+import pytest
+
+from par_scrape_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(
+        app_name="par_scrape_spark_tests",
+        master="local[4]",
+        shuffle_partitions=4,
+    )
+    yield spark

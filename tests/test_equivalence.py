@@ -1,0 +1,97 @@
+"""North-rule equivalence: Spark engine vs reference-policy simulator.
+
+Same seed list + politeness budget → assert (a) identical per-superstep
+selected-URL sequences (crawl-ordering replay), (b) bit-for-bit equal
+final URL-seen set, (c) identical per-row terminal state
+(status/depth/attempts/queued_seq/error_type).
+"""
+
+import shutil
+import tempfile
+
+import pytest
+
+from par_scrape_spark.config import CrawlConfig, CrawlType
+from par_scrape_spark.plans.crawl import CrawlEngine
+from par_scrape_spark.simulator import simulate
+
+
+def _run_both(spark, cfg):
+    sim = simulate(cfg)
+    wh = tempfile.mkdtemp(prefix="eq_")
+    try:
+        eng = CrawlEngine(spark, cfg, wh)
+        state = eng.run()
+        frontier = eng.frontier.read(state["snapshots"]["frontier"])
+        eng_rows = {
+            r["url"]: (
+                r["status"],
+                r["depth"],
+                r["attempts"],
+                r["queued_seq"],
+                r["error_type"],
+            )
+            for r in frontier.collect()
+        }
+        lineage_rows = eng.lineage.read(state["snapshots"]["lineage"]).collect()
+        return sim, state, eng_rows, lineage_rows
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def _assert_equivalent(sim, state, eng_rows):
+    assert state["selected_log"] == sim.selected_log
+    sim_rows = {
+        u: (r.status, r.depth, r.attempts, r.queued_seq, r.error_type)
+        for u, r in sim.frontier.items()
+    }
+    assert set(eng_rows) == set(sim_rows)  # seen set, bit for bit
+    assert eng_rows == sim_rows  # full terminal state
+
+
+@pytest.mark.slow
+def test_domain_crawl_equivalence(spark):
+    cfg = CrawlConfig(
+        run_name="eq_domain",
+        seeds=tuple(f"http://site-{i:05d}.example" for i in range(5)),
+        crawl_type=CrawlType.DOMAIN,
+        crawl_batch_size=4,
+        crawl_max_pages=24,
+        web_seed=42,
+    )
+    sim, state, eng_rows, lineage_rows = _run_both(spark, cfg)
+    _assert_equivalent(sim, state, eng_rows)
+    # lineage sanity: per-superstep selected counts sum to pages
+    total_selected = sum(r["selected"] for r in lineage_rows)
+    assert total_selected == state["pages"] == sim.pages
+
+
+@pytest.mark.slow
+def test_single_level_crawl_equivalence(spark):
+    cfg = CrawlConfig(
+        run_name="eq_single",
+        seeds=("http://site-00000.example", "http://site-00010.example"),
+        crawl_type=CrawlType.SINGLE_LEVEL,
+        crawl_batch_size=2,
+        crawl_max_pages=10,
+        web_seed=42,
+    )
+    sim, state, eng_rows, _ = _run_both(spark, cfg)
+    _assert_equivalent(sim, state, eng_rows)
+    # single_level: only seed pages expand → max depth 1
+    assert all(v[1] <= 1 for v in eng_rows.values())
+
+
+@pytest.mark.slow
+def test_no_rate_limit_equivalence(spark):
+    cfg = CrawlConfig(
+        run_name="eq_norl",
+        seeds=tuple(f"http://site-{i:05d}.example" for i in range(3)),
+        crawl_type=CrawlType.DOMAIN,
+        crawl_batch_size=5,
+        crawl_max_pages=15,
+        respect_rate_limits=False,
+        web_seed=42,
+    )
+    sim, state, eng_rows, _ = _run_both(spark, cfg)
+    _assert_equivalent(sim, state, eng_rows)

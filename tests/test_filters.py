@@ -1,0 +1,57 @@
+"""Bloom / cuckoo / SeenFilter unit tests (SURVEY §2.8 D1/D2)."""
+
+import numpy as np
+
+from par_scrape_spark.operators.dedup import BloomFilter, CuckooFilter, SeenFilter
+
+
+def test_bloom_no_false_negatives():
+    bf = BloomFilter(capacity=10_000, fpp=1e-3)
+    keys = np.arange(-5000, 5000, dtype=np.int64) * 7919
+    bf.add(keys)
+    assert bf.contains(keys).all()
+
+
+def test_bloom_fpp_within_budget():
+    bf = BloomFilter(capacity=10_000, fpp=1e-3)
+    rng = np.random.default_rng(1)
+    present = rng.integers(-(2**62), 2**62, 10_000, dtype=np.int64)
+    bf.add(present)
+    absent = rng.integers(-(2**62), 2**62, 100_000, dtype=np.int64)
+    absent = np.setdiff1d(absent, present)
+    fp_rate = bf.contains(absent).mean()
+    assert fp_rate < 5e-3  # design 1e-3, generous margin
+
+
+def test_cuckoo_insert_contains_delete():
+    cf = CuckooFilter(capacity=5_000)
+    keys = [int(k) for k in np.random.default_rng(2).integers(-(2**62), 2**62, 4_000)]
+    for k in keys:
+        assert cf.add(k)
+    assert cf.contains(np.array(keys, dtype=np.int64)).all()
+    for k in keys[:100]:
+        assert cf.delete(k)
+    # deleted keys *may* still hit via shared fingerprints, but most drop
+    still = cf.contains(np.array(keys[:100], dtype=np.int64)).mean()
+    assert still < 0.1
+
+
+def test_seen_filter_spill_tier():
+    sf = SeenFilter(capacity=1_000)
+    keys = np.arange(0, 3_000, dtype=np.int64) * 104729
+    sf.add(keys)  # 2000 past bloom capacity → cuckoo spill
+    assert sf.cuckoo is not None
+    assert sf.contains(keys).all()
+
+
+def test_seen_filter_save_load_roundtrip(tmp_path):
+    sf = SeenFilter(capacity=1_000)
+    keys = np.arange(0, 2_500, dtype=np.int64) * 31337
+    sf.add(keys)
+    path = str(tmp_path / "f.npz")
+    sf.save(path)
+    sf2 = SeenFilter.load(path)
+    assert sf2.contains(keys).all()
+    assert sf2.cuckoo is not None
+    fresh = np.arange(10**6, 10**6 + 1000, dtype=np.int64)
+    assert sf2.contains(fresh).mean() < 0.05

@@ -1,0 +1,74 @@
+"""Image codec invariants: lossless PNG roundtrip, qDCT PSNR >= 40 dB
+(BASELINE.json::input_hint per-row invariant), phash determinism and
+near-dup stability, cuckoo/bloom filter behavior."""
+
+import numpy as np
+import pytest
+
+from par_scrape_spark.functions.image import (
+    decode_image,
+    decode_png,
+    decode_qdct,
+    encode_png,
+    encode_qdct,
+    hamming64,
+    phash64,
+    psnr,
+)
+from par_scrape_spark.sources.synthetic_web import _render_pixels, page_images
+
+
+@pytest.mark.parametrize("shape", [(32, 32), (64, 48), (33, 37), (64, 64, 3), (128, 128)])
+def test_png_lossless_roundtrip(shape):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@pytest.mark.parametrize("shape", [(32, 32), (64, 48), (33, 37), (64, 64, 3)])
+def test_qdct_psnr_floor(shape):
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    decoded = decode_qdct(encode_qdct(img))
+    assert decoded.shape == img.shape
+    assert psnr(img, decoded) >= 40.0
+
+
+def test_qdct_smooth_content_psnr():
+    img = _render_pixels("smooth", 128, 64, seed=42)
+    assert psnr(img, decode_qdct(encode_qdct(img))) >= 40.0
+
+
+def test_phash_deterministic_and_discriminative():
+    a = _render_pixels("a", 64, 64, seed=1)
+    b = _render_pixels("b", 64, 64, seed=1)
+    assert phash64(a) == phash64(a)
+    assert phash64(a) != phash64(b)
+
+
+def test_phash_stable_under_lossy_reencode():
+    img = _render_pixels("x", 64, 64, seed=3)
+    h_orig = phash64(img)
+    h_re = phash64(decode_qdct(encode_qdct(img)))
+    assert hamming64(h_orig, h_re) <= 4
+
+
+def test_unsupported_format_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff", "jpeg")
+
+
+def test_synthetic_page_images_decode_invariant():
+    """Every generated payload row decodes to pixels matching its source
+    (exact for png, PSNR>=40 for qdct) with exact caption equality."""
+    rows = page_images("http://site-00001.example/page/3", 42)
+    assert 1 <= len(rows) <= 5
+    for i, row in enumerate(rows):
+        decoded = decode_image(row["bytes"], row["fmt"])
+        assert decoded.shape == (row["h"], row["w"])
+        assert row["caption"] == f"Image {i} on site-00001.example/page/3"
+        if row["fmt"] == "png":
+            # lossless: re-encoding the decode is byte-identical
+            from par_scrape_spark.functions.image import encode_png
+
+            assert encode_png(decoded) == row["bytes"]

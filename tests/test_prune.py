@@ -1,0 +1,60 @@
+"""Pruner rule tests mirroring the reference's own suite
+(/root/reference/tests/test_prune.py cases, re-derived)."""
+
+from par_scrape_spark.functions.prune import prune_markdown
+
+
+def test_empty():
+    assert prune_markdown("") == ""
+
+
+def test_nav_run_of_four_dropped():
+    md = "\n".join(f"- [nav{i}](u)" for i in "abcd")
+    assert prune_markdown(md) == ""
+
+
+def test_run_of_three_kept():
+    md = "\n".join(f"- [nav{chr(97+i)}](u)" for i in range(3))
+    assert prune_markdown(md) == md
+
+
+def test_digit_items_protected():
+    md = "- [item 10](u)\n- [a](u)\n- [b](u)\n- [c](u)\n- [d](u)"
+    out = prune_markdown(md)
+    assert "- [item 10](u)" in out
+    assert "- [a](u)" not in out
+
+
+def test_empty_text_link_item_dropped():
+    assert prune_markdown("- [](http://x)\nkeep me") == "keep me"
+
+
+def test_bare_url_and_image_lines_dropped():
+    md = "keep\nhttps://example.com/page\n![alt](img.png)\nwww.example.com/x\nalso keep"
+    assert prune_markdown(md) == "keep\nalso keep"
+
+
+def test_headings_tables_fences_byte_identical():
+    md = "# Heading 1\n| a | b |\n|---|---|\n```\n- [a](u)\n- [b](u)\n- [c](u)\n- [d](u)\n```"
+    assert prune_markdown(md) == md
+
+
+def test_code_fence_protects_link_runs():
+    inner = "\n".join(f"- [x{i}](u)" for i in range(6))
+    md = f"```\n{inner}\n```"
+    assert prune_markdown(md) == md
+
+
+def test_blank_runs_collapse():
+    assert prune_markdown("a\n\n\n\nb") == "a\n\nb"
+
+
+def test_trailing_whitespace_stripped():
+    assert prune_markdown("a   \nb\t") == "a\nb"
+
+
+def test_ordered_list_index_not_protective():
+    # "1." marker alone must not shield a link-only item (reference
+    # prune.py:44-50: marker stripped before the digit guard)
+    md = "\n".join(f"{i}. [nav](u)" for i in range(1, 6))
+    assert prune_markdown(md) == ""

@@ -1,0 +1,117 @@
+"""Checkpoint/resume: a crawl interrupted after k supersteps and resumed
+from its snapshot checkpoint must reach the same final state as the
+uninterrupted run (north_rule resumability + L4 stale-active semantics).
+"""
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from par_scrape_spark.config import CrawlConfig, CrawlType, PageStatus
+from par_scrape_spark.plans.crawl import CrawlEngine
+
+
+def _cfg(run_name):
+    return CrawlConfig(
+        run_name=run_name,
+        seeds=tuple(f"http://site-{i:05d}.example" for i in range(4)),
+        crawl_type=CrawlType.DOMAIN,
+        crawl_batch_size=3,
+        crawl_max_pages=15,
+        web_seed=42,
+    )
+
+
+def _final_rows(engine, state):
+    frontier = engine.frontier.read(state["snapshots"]["frontier"])
+    return {
+        r["url"]: (r["status"], r["depth"], r["attempts"], r["queued_seq"])
+        for r in frontier.collect()
+    }
+
+
+@pytest.mark.slow
+def test_resume_matches_uninterrupted(spark):
+    wh_a = tempfile.mkdtemp(prefix="res_a_")
+    wh_b = tempfile.mkdtemp(prefix="res_b_")
+    try:
+        # uninterrupted reference run
+        eng_a = CrawlEngine(spark, _cfg("res"), wh_a)
+        state_a = eng_a.run()
+
+        # interrupted run: stop after 2 supersteps, new engine resumes
+        eng_b1 = CrawlEngine(spark, _cfg("res"), wh_b)
+        eng_b1.start()
+        eng_b1.superstep()
+        eng_b1.superstep()
+
+        eng_b2 = CrawlEngine(spark, _cfg("res"), wh_b)
+        state_b = eng_b2.run()  # start() routes to resume()
+
+        assert state_b["selected_log"] == state_a["selected_log"]
+        assert _final_rows(eng_b2, state_b) == _final_rows(eng_a, state_a)
+    finally:
+        shutil.rmtree(wh_a, ignore_errors=True)
+        shutil.rmtree(wh_b, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_stale_active_requeued(spark):
+    """A crash between selection-mark and outcome-commit leaves rows
+    ACTIVE; resume() must requeue them with attempts preserved."""
+    wh = tempfile.mkdtemp(prefix="res_c_")
+    try:
+        eng = CrawlEngine(spark, _cfg("stale"), wh)
+        eng.start()
+        eng.superstep()
+        # simulate the crash: force two frontier rows to ACTIVE
+        frontier = eng.frontier.read(eng.state["snapshots"]["frontier"])
+        victims = frontier.filter(
+            F.col("status") == PageStatus.QUEUED.value
+        ).limit(2).withColumn("status", F.lit(PageStatus.ACTIVE.value))
+        snap = eng.frontier.commit_upsert(victims)
+        eng.state["snapshots"]["frontier"] = snap
+        eng._commit_state()
+        victim_urls = {r["url"] for r in victims.collect()}
+        victim_attempts = {r["url"]: r["attempts"] for r in victims.collect()}
+
+        eng2 = CrawlEngine(spark, _cfg("stale"), wh)
+        eng2.resume()
+        frontier2 = eng2.frontier.read(eng2.state["snapshots"]["frontier"])
+        got = {
+            r["url"]: (r["status"], r["attempts"])
+            for r in frontier2.collect()
+            if r["url"] in victim_urls
+        }
+        for url in victim_urls:
+            assert got[url] == (PageStatus.QUEUED.value, victim_attempts[url])
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_run_state_is_atomic_root(spark):
+    """RUN_STATE.json pins per-table snapshots: a table commit without a
+    state commit is invisible after resume (multi-table atomicity)."""
+    wh = tempfile.mkdtemp(prefix="res_d_")
+    try:
+        eng = CrawlEngine(spark, _cfg("atomic"), wh)
+        eng.start()
+        eng.superstep()
+        pinned = dict(eng.state["snapshots"])
+        # a stray table commit after the state commit (simulated crash
+        # mid-superstep before RUN_STATE was updated)
+        frontier = eng.frontier.read(pinned["frontier"])
+        eng.frontier.commit_upsert(
+            frontier.limit(1).withColumn("status", F.lit("error"))
+        )
+        eng2 = CrawlEngine(spark, _cfg("atomic"), wh)
+        eng2.resume()
+        assert eng2.state["snapshots"]["frontier"] == pinned["frontier"]
+        with open(eng2.state_path) as f:
+            assert json.load(f)["snapshots"]["frontier"] == pinned["frontier"]
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -1,0 +1,125 @@
+"""Scheduler unit tests on hand-built frontier/politeness frames, plus
+physical-plan assertions (top-k without full sort, broadcast politeness
+join)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from par_scrape_spark.config import PageStatus
+from par_scrape_spark.operators.scheduler import select_batch
+from par_scrape_spark.schemas import FRONTIER_SCHEMA, POLITENESS_SCHEMA
+
+
+def _frontier(spark, rows):
+    """rows: (url, host, status, attempts, priority, queued_seq)"""
+    data = [
+        {
+            "run": "r",
+            "url": u,
+            "url_hash": hash(u),
+            "host": h,
+            "host_salt": 0,
+            "status": s,
+            "attempts": a,
+            "depth": 0,
+            "priority": p,
+            "queued_seq": q,
+            "cost": 0.0,
+        }
+        for (u, h, s, a, p, q) in rows
+    ]
+    return spark.createDataFrame(data, FRONTIER_SCHEMA)
+
+
+def _politeness(spark, rows):
+    """rows: (host, last_access, crawl_delay)"""
+    data = [
+        {
+            "host": h,
+            "last_access": la,
+            "crawl_delay": d,
+            "robots_rules": "",
+            "robots_fetched": True,
+            "allow_all": False,
+        }
+        for (h, la, d) in rows
+    ]
+    return spark.createDataFrame(data, POLITENESS_SCHEMA)
+
+
+def test_one_per_host_and_order(spark):
+    f = _frontier(
+        spark,
+        [
+            ("u1", "a", "queued", 0, 0, 1),
+            ("u2", "a", "queued", 0, 0, 2),  # same host: only u1 picked
+            ("u3", "b", "queued", 0, 0, 3),
+            ("u4", "c", "queued", 0, 0, 4),
+        ],
+    )
+    p = _politeness(spark, [("a", 0, 1), ("b", 0, 1), ("c", 0, 1)])
+    got = select_batch(f, p, "r", tick=1, batch_size=2).orderBy("parent_rank").collect()
+    assert [r["url"] for r in got] == ["u1", "u3"]
+
+
+def test_rate_limit_gate(spark):
+    # host a accessed at tick 4 with delay 3 → not eligible at tick 5
+    f = _frontier(
+        spark,
+        [("u1", "a", "queued", 0, 0, 1), ("u2", "b", "queued", 0, 0, 2)],
+    )
+    p = _politeness(spark, [("a", 4, 3), ("b", 1, 1)])
+    got = select_batch(f, p, "r", tick=5, batch_size=2).collect()
+    assert [r["url"] for r in got] == ["u2"]
+    # at tick 7 host a becomes eligible; b has older last_access → b first
+    got = (
+        select_batch(f, p, "r", tick=7, batch_size=2)
+        .orderBy("parent_rank")
+        .collect()
+    )
+    assert [r["url"] for r in got] == ["u2", "u1"]
+
+
+def test_error_retry_eligibility(spark):
+    f = _frontier(
+        spark,
+        [
+            ("u1", "a", "error", 2, 0, 1),   # attempts < retries → eligible
+            ("u2", "b", "error", 3, 0, 2),   # attempts == retries → not
+            ("u3", "c", "completed", 1, 0, 3),
+            ("u4", "d", "active", 1, 0, 4),
+        ],
+    )
+    p = _politeness(spark, [("a", 0, 1), ("b", 0, 1), ("c", 0, 1), ("d", 0, 1)])
+    got = select_batch(f, p, "r", tick=1, batch_size=10, retries=3).collect()
+    assert [r["url"] for r in got] == ["u1"]
+
+
+def test_priority_orders_within_host(spark):
+    f = _frontier(
+        spark,
+        [
+            ("u1", "a", "queued", 0, 5, 1),
+            ("u2", "a", "queued", 0, 1, 2),  # better priority wins the host
+        ],
+    )
+    p = _politeness(spark, [("a", 0, 1)])
+    got = select_batch(f, p, "r", tick=1, batch_size=1).collect()
+    assert [r["url"] for r in got] == ["u2"]
+
+
+def test_physical_plan_topk_and_broadcast(spark):
+    """The pool cut must compile to TakeOrderedAndProject (per-partition
+    top-k, no full sort) and the politeness join must be broadcast."""
+    f = _frontier(
+        spark, [(f"u{i}", f"h{i}", "queued", 0, 0, i) for i in range(50)]
+    )
+    p = _politeness(spark, [(f"h{i}", 0, 1) for i in range(50)])
+    df = select_batch(f, p, "r", tick=1, batch_size=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_status_values_complete():
+    assert {s.value for s in PageStatus} == {"queued", "active", "completed", "error"}
