@@ -327,6 +327,67 @@ def q_s_embed_topk(spark, sf_dir):
     )
 
 
+def q_f14_output_folder(spark, sf_dir):
+    """F14 (paths.py:9-62): URL → collision-free artifact path, with the
+    sha256[:8] discriminator when a query string is present."""
+    from par_scrape_spark.functions.urls import output_folder_col
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example/a/b"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?q=1")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", output_folder_col(F.lit("run1"), url).alias("folder")
+    )
+
+
+def q_s_cosine_topk(spark, sf_dir):
+    """True-cosine ANN baseline: normalized dot product, top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qvec"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    norm_q = F.sqrt(
+        F.aggregate(F.col("qvec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = emb.crossJoin(F.broadcast(qvec)).withColumn(
+        "cosine", F.round(dot / (norm_a * norm_q), 4)
+    )
+    return (
+        scored.orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", "cosine")
+    )
+
+
+def q_a4_lineage_rollup(spark, sf_dir):
+    """A4-shaped lineage rollup: per-bucket conditional counters in one
+    groupBy (the engine's per-superstep lineage aggregation shape)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy((F.col("user_id") % 4).alias("bucket"))
+        .agg(
+            F.count("*").alias("selected"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "fetched_ok"
+            ),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "errors"
+            ),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 # -------------------------------------------------- rows-only (engine-native)
 
 
@@ -366,6 +427,21 @@ def q_c11_prune_markdown(spark, sf_dir):
     )
     prune = prune_markdown_udf()
     return docs.select("doc_id", prune(md).alias("pruned"))
+
+
+def q_d_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard verify tier over the LSH candidates
+    (rows-only: pandas-UDF shingle sets)."""
+    from par_scrape_spark.functions.text import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_near_dup_pairs(docs, min_est_jaccard=0.3)
+    return ngram_jaccard_pairs(docs, cands).select(
+        "doc_a", "doc_b", "est_jaccard", "jaccard"
+    )
 
 
 def q_j8_phash_near_dup(spark, sf_dir):
@@ -408,9 +484,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_embed_topk": q_s_embed_topk,
     "d_simhash": q_d_simhash,
     "d_minhash_pairs": q_d_minhash_pairs,
+    "d_ngram_jaccard": q_d_ngram_jaccard,
     "t_lang_id": q_t_lang_id,
     "c11_prune_markdown": q_c11_prune_markdown,
     "j8_phash_near_dup": q_j8_phash_near_dup,
+    "f14_output_folder": q_f14_output_folder,
+    "s_cosine_topk": q_s_cosine_topk,
+    "a4_lineage_rollup": q_a4_lineage_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -514,6 +594,27 @@ ORACLES: dict[str, str] = {
         "WITH q AS (SELECT embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 1) "
         "SELECT vec_id, round(list_dot_product(embedding, qvec), 4) AS score "
         "FROM embeddings, q ORDER BY score DESC, vec_id LIMIT 10"
+    ),
+    "f14_output_folder": (
+        "WITH u AS (SELECT doc_id, 'http://h' || CAST(doc_id % 3 AS VARCHAR) "
+        "|| '.example/a/b' || (CASE WHEN doc_id % 2 = 0 THEN '?q=1' ELSE '' END) "
+        "AS url FROM documents) "
+        "SELECT doc_id, 'run1/h' || CAST(doc_id % 3 AS VARCHAR) || '.example/' || "
+        "(CASE WHEN doc_id % 2 = 0 "
+        "THEN 'a__b-' || substr(sha256(url), 1, 8) ELSE 'a__b' END) AS folder FROM u"
+    ),
+    "s_cosine_topk": (
+        "WITH q AS (SELECT embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 1) "
+        "SELECT vec_id, round(list_dot_product(embedding, qvec) / "
+        "(sqrt(list_dot_product(embedding, embedding)) * "
+        "sqrt(list_dot_product(qvec, qvec))), 4) AS cosine "
+        "FROM embeddings, q ORDER BY cosine DESC, vec_id LIMIT 10"
+    ),
+    "a4_lineage_rollup": (
+        "SELECT user_id % 4 AS bucket, count(*) AS selected, "
+        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS fetched_ok, "
+        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors, "
+        "round(sum(value), 2) AS total_value FROM events GROUP BY 1"
     ),
 }
 

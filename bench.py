@@ -73,7 +73,7 @@ def drain_throughput(cores: int) -> dict:
         crawl_max_pages=N_HOSTS * N_STEPS,
         web_seed=42,
         num_buckets=64,
-        bloom_capacity_per_bucket=1 << 20,
+        bloom_capacity_per_bucket=1 << 17,
         compact_every=10**9,  # no mid-bench compaction
         log_selection=False,
     )

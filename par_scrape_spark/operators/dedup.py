@@ -320,6 +320,10 @@ class FilterStore:
         if step is None or not self.exists(step):
             return candidates.withColumn("maybe_seen", F.lit(True))
         store_root, capacity, fpp = self.root, self.capacity, self.fpp
+        # co-partition by bucket so each task loads only its own bucket
+        # filters (at 10^10 scale a task must never page in the whole
+        # filter set)
+        candidates = candidates.repartition(F.col("host_salt"))
         out_schema = T.StructType(
             candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
         )

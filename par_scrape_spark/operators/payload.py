@@ -76,3 +76,38 @@ def decode_and_phash(images: DataFrame) -> DataFrame:
     return images.withColumn("phash", phash_udf(F.col("bytes"), F.col("fmt"))).select(
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "run", "url", "fetched_at"
     )
+
+
+_PAYLOAD_FIELDS = T.StructType(
+    _IMAGE_FIELDS.fields[:6]
+    + [T.StructField("phash", T.LongType())]
+    + _IMAGE_FIELDS.fields[6:]
+)
+
+
+def fetch_decode_phash(ok_pages: DataFrame, run: str, seed: int, tick: int) -> DataFrame:
+    """Fused payload stage for the crawl engine: generate each page's
+    image rows AND decode+phash them in ONE mapInPandas pass, so the
+    image bytes cross the JVM/Python boundary once (write-side) instead
+    of three times (generate → JVM → decode UDF → JVM → write)."""
+
+    cols = [f.name for f in _PAYLOAD_FIELDS.fields]
+
+    def _gen(iterator):
+        for pdf in iterator:
+            rows = []
+            for url in pdf["url"]:
+                for img in synthetic_web.page_images(url, seed):
+                    img = dict(img)
+                    try:
+                        img["phash"] = phash64(decode_image(img["bytes"], img["fmt"]))
+                    except Exception:
+                        img["phash"] = None
+                    img["run"] = run
+                    img["url"] = url
+                    img["fetched_at"] = tick
+                    rows.append(img)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return ok_pages.select("url").mapInPandas(_gen, _PAYLOAD_FIELDS)

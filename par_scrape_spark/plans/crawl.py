@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,7 +53,7 @@ from par_scrape_spark.operators import robots as robots_ops
 from par_scrape_spark.operators import scheduler
 from par_scrape_spark.operators.dedup import FilterStore
 from par_scrape_spark.operators.links import child_candidates, fetch_extract
-from par_scrape_spark.operators.payload import decode_and_phash, fetch_images
+from par_scrape_spark.operators.payload import fetch_decode_phash
 from par_scrape_spark.schemas import (
     FRONTIER_SCHEMA,
     LINEAGE_SCHEMA,
@@ -98,6 +99,12 @@ class CrawlEngine:
             config.bloom_fpp,
         )
         self.state_path = os.path.join(root, "RUN_STATE.json")
+        self.timings: list[dict] = []  # per-superstep phase wall times
+        # in-memory chained table states: the functional image of what is
+        # on disk (disk stays the checkpoint / source of truth on resume;
+        # chaining avoids re-listing + re-resolving parquet every step)
+        self._frontier_df = None
+        self._politeness_df = None
         self.state: dict = {
             "run": config.run_name,
             "superstep": 0,
@@ -208,8 +215,15 @@ class CrawlEngine:
         tick = step
         run = cfg.run_name
 
-        frontier = self._read_table(self.frontier, "frontier").cache()
-        politeness = self._read_table(self.politeness, "politeness").cache()
+        phase_t: dict[str, float] = {}
+        t0 = time.time()
+
+        if self._frontier_df is None:
+            self._frontier_df = self._read_table(self.frontier, "frontier").cache()
+        if self._politeness_df is None:
+            self._politeness_df = self._read_table(self.politeness, "politeness").cache()
+        frontier = self._frontier_df
+        politeness = self._politeness_df
 
         selected = scheduler.select_batch(
             frontier,
@@ -219,14 +233,17 @@ class CrawlEngine:
             cfg.crawl_batch_size,
             cfg.scrape_retries,
             cfg.respect_rate_limits,
-        ).cache()
+        )
+        # the batch leaves the ranking window in ONE partition (global
+        # top-k); spread it across host buckets before the parallel
+        # fetch/extract stages or they run on a single core
+        selected = selected.repartition(F.col("host_salt")).cache()
         n_selected = selected.count()
+        phase_t["select"] = time.time() - t0
         if n_selected == 0:
             self.state["done"] = True
             self._commit_state()
-            politeness.unpersist()
             selected.unpersist()
-            frontier.unpersist()
             return 0
 
         seed_set = frozenset(
@@ -248,9 +265,17 @@ class CrawlEngine:
         # against the (small) maybe-set, then anti-join maybe against the
         # small hit set — the frontier is scanned, never shuffled.
         frontier_keys = frontier.select("run", "url_hash", "url")
-        probed = self.filters.probe_udf_cols(allowed, self.state.get("filter_step"))
+        probed = self.filters.probe_udf_cols(
+            allowed, self.state.get("filter_step")
+        ).cache()
+        # ONE pinning job: materializing probed also fills the fetched and
+        # candidates caches (they are its parents), so every later branch
+        # (outcomes, resets, dedup, lineage, payload) reads cached data —
+        # without this, each union branch would re-run the UDF chain
+        probed.count()
+        phase_t["fetch_probe"] = time.time() - t0 - phase_t["select"]
         definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen").cache()
+        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         hits = frontier_keys.join(
             F.broadcast(maybe.select("run", "url_hash", "url")),
             ["run", "url_hash", "url"],
@@ -259,6 +284,7 @@ class CrawlEngine:
         survivors = maybe.join(
             F.broadcast(hits), ["run", "url_hash", "url"], "left_anti"
         )
+        # cache fills during the frontier commit job; no separate count
         new_rows = definite_new.unionByName(survivors).cache()
 
         # J3: error-resets — frontier rows already in error state,
@@ -347,55 +373,84 @@ class CrawlEngine:
             .drop("_sel", "_err")
         )
 
-        # payload: image rows for completed pages, decoded + phashed
+        # payload: image rows for completed pages, decoded + phashed in
+        # one fused Arrow stage
         ok_pages = fetched.filter(~is_err)
-        images = decode_and_phash(
-            fetch_images(ok_pages, run, cfg.web_seed, tick)
-        )
+        images = fetch_decode_phash(ok_pages, run, cfg.web_seed, tick)
 
-        # lineage counters per host bucket (A4 / north_rule)
-        def _agg(df, name):
-            return df.groupBy("host_salt").agg(F.count("*").alias(name))
+        # lineage counters per host bucket (A4 / north_rule): one
+        # long-format union + a single groupBy — not a chain of joins
+        counter_cols = [
+            "selected", "fetched_ok", "errors", "robots_denied",
+            "_allowed", "new_urls", "images",
+        ]
 
-        lineage = (
-            _agg(selected, "selected")
-            .join(_agg(ok_pages, "fetched_ok"), "host_salt", "full")
-            .join(_agg(fetched.filter(is_err), "errors"), "host_salt", "full")
-            .join(
-                _agg(candidates.filter(~F.col("robots_allowed")), "robots_denied"),
+        def _tagged(df, **exprs):
+            return df.select(
                 "host_salt",
-                "full",
+                *[
+                    (exprs.get(c, F.lit(0)).cast("long")).alias(c)
+                    for c in counter_cols
+                ],
             )
-            .join(_agg(new_rows, "new_urls"), "host_salt", "full")
-            .join(
-                ok_pages.groupBy("host_salt").agg(F.sum("n_images").alias("images")),
-                "host_salt",
-                "full",
+
+        zero = F.lit(0)
+        lineage_long = (
+            _tagged(
+                fetched,
+                selected=F.lit(1),
+                fetched_ok=F.when(~is_err, 1).otherwise(zero),
+                errors=F.when(is_err, 1).otherwise(zero),
+                images=F.when(~is_err, F.col("n_images")).otherwise(zero),
             )
+            .unionByName(
+                _tagged(
+                    candidates,
+                    robots_denied=F.when(~F.col("robots_allowed"), 1).otherwise(zero),
+                    _allowed=F.when(F.col("robots_allowed"), 1).otherwise(zero),
+                )
+            )
+            .unionByName(_tagged(new_rows, new_urls=F.lit(1)))
         )
-        n_allowed_by_salt = _agg(allowed, "_n_allowed")
         lineage = (
-            lineage.join(n_allowed_by_salt, "host_salt", "full")
-            .na.fill(0)
-            .withColumn("dedup_hits", F.col("_n_allowed") - F.col("new_urls"))
-            .drop("_n_allowed")
+            lineage_long.groupBy("host_salt")
+            .agg(*[F.sum(c).alias(c) for c in counter_cols])
+            .withColumn("dedup_hits", F.col("_allowed") - F.col("new_urls"))
+            .drop("_allowed")
             .withColumn("run", F.lit(run))
             .withColumn("superstep", F.lit(step).cast("long"))
             .select([f.name for f in LINEAGE_SCHEMA.fields])
         )
 
         # ---- commits (multi-table; RUN_STATE.json pins the snapshot set)
+        t1 = time.time()
+        upsert = upsert.cache()
         fsnap = self.frontier.commit_upsert(upsert)
+        compacted = False
         if self.frontier.delta_count() >= cfg.compact_every:
             fsnap = self.frontier.compact()
-        psnap = self.politeness.commit_overwrite(pol_new)
-        paysnap = self.payload.commit_append(images)
-        lsnap = self.lineage.commit_append(lineage)
+            compacted = True
+        phase_t["frontier_commit"] = time.time() - t1
 
+        t1 = time.time()
+        pol_new = pol_new.cache()
+        psnap = self.politeness.commit_overwrite(pol_new)
+        phase_t["politeness_commit"] = time.time() - t1
+
+        t1 = time.time()
+        paysnap = self.payload.commit_append(images)
+        phase_t["payload_commit"] = time.time() - t1
+
+        t1 = time.time()
+        lsnap = self.lineage.commit_append(lineage)
+        phase_t["lineage_commit"] = time.time() - t1
+
+        t1 = time.time()
         prev_fstep = self.state.get("filter_step")
         self.filters.advance(
             prev_fstep, step, new_rows.select("host_salt", "url_hash"), cfg.num_buckets
         )
+        phase_t["filters"] = time.time() - t1
 
         if cfg.log_selection:
             sel_urls = [
@@ -418,8 +473,37 @@ class CrawlEngine:
         )
         self._commit_state()
 
-        for df in (selected, fetched, candidates, maybe, new_rows, politeness, frontier):
+        # chain the in-memory table images forward (same latest-wins
+        # semantics as the MoR read; disk already holds the commit)
+        t1 = time.time()
+        chain = os.environ.get("SPARK_GRAFT_CHAIN", "1") == "1"
+        if compacted or not chain:
+            frontier.unpersist()
+            politeness.unpersist()
+            pol_new.unpersist()
+            self._frontier_df = None
+            self._politeness_df = None
+        else:
+            # localCheckpoint truncates the plan (no lineage growth across
+            # supersteps) and materializes eagerly, so the parents can be
+            # unpersisted safely; on failure the disk snapshot is the
+            # recovery path (resume()).
+            survivors_f = frontier.join(
+                F.broadcast(upsert.select("run", "url")), ["run", "url"], "left_anti"
+            )
+            new_frontier = survivors_f.unionByName(upsert).localCheckpoint(eager=True)
+            frontier.unpersist()
+            self._frontier_df = new_frontier
+            self._politeness_df = pol_new.localCheckpoint(eager=True)
+            pol_new.unpersist()
+            politeness.unpersist()
+        phase_t["chain"] = time.time() - t1
+
+        for df in (selected, fetched, candidates, probed, new_rows, upsert):
             df.unpersist()
+        phase_t["total"] = time.time() - t0
+        phase_t["n_selected"] = n_selected
+        self.timings.append({k: round(v, 3) for k, v in phase_t.items()})
         return n_selected
 
     def run(self) -> dict:

@@ -104,9 +104,17 @@ class SnapshotTable:
     def _write_dir(self, df: DataFrame, partitioned: bool) -> str:
         rel = os.path.join("data", f"commit-{uuid.uuid4().hex[:12]}")
         out = os.path.join(self.dir, rel)
-        writer = df.write.mode("overwrite")
+        writer_df = df
+        writer = None
         if partitioned and self.partition_cols:
-            writer = writer.partitionBy(*self.partition_cols)
+            # co-locate each partition value into one task before the
+            # partitionBy write — otherwise every task emits a file per
+            # value it holds (tasks x values tiny files, whose listing
+            # then dominates every later scan)
+            writer_df = df.repartition(*[F.col(c) for c in self.partition_cols])
+            writer = writer_df.write.mode("overwrite").partitionBy(*self.partition_cols)
+        else:
+            writer = writer_df.write.mode("overwrite")
         writer.parquet(out)
         return rel
 

@@ -1,0 +1,55 @@
+"""Profile superstep phases at a given core count.
+
+Usage: python scripts/profile_superstep.py [cores] [n_hosts] [steps]
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from par_scrape_spark.config import CrawlConfig, CrawlType
+from par_scrape_spark.plans.crawl import CrawlEngine
+from par_scrape_spark.session import get_spark
+from par_scrape_spark.sources.synthetic_web import seed_urls
+
+cores = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+n_hosts = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+steps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores)
+spark.range(1000).selectExpr("sum(id)").collect()
+
+cfg = CrawlConfig(
+    run_name="prof",
+    seeds=tuple(seed_urls(42, n_hosts)),
+    crawl_type=CrawlType.DOMAIN,
+    crawl_batch_size=n_hosts + 16,
+    crawl_max_pages=n_hosts * steps,
+    web_seed=42,
+    num_buckets=64,
+    bloom_capacity_per_bucket=1 << 17,
+    compact_every=10**9,
+    log_selection=False,
+)
+wh = tempfile.mkdtemp(prefix=f"prof_{cores}_")
+try:
+    eng = CrawlEngine(spark, cfg, wh)
+    t0 = time.time()
+    eng.start()
+    print(f"seed: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    for _ in range(steps):
+        if eng.superstep() == 0:
+            break
+    dt = time.time() - t0
+    for i, t in enumerate(eng.timings):
+        print(f"step {i+1}: {json.dumps(t)}")
+    print(f"cores={cores} hosts={n_hosts} drain={dt:.1f}s "
+          f"pages={eng.state['pages']} urls/sec={eng.state['pages']/dt:.1f}")
+finally:
+    shutil.rmtree(wh, ignore_errors=True)
