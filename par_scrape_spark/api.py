@@ -1,0 +1,168 @@
+"""Library API: the engine's equivalent of ``from par_scrape import scrape``.
+
+Mirrors the reference surface (/root/reference/src/par_scrape/api.py:30-196):
+``scrape()`` runs a crawl and returns a ``ScrapeResult`` whose pages are
+projections of the frontier table; per-page failures never raise — they
+surface as error-status rows (api.py:133-135). The queue-management
+helpers mirror the reference CLI (queue_cli.py:30-119).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from par_scrape_spark.config import CrawlConfig, CrawlType, PageStatus
+from par_scrape_spark.operators import stats
+from par_scrape_spark.plans.crawl import CrawlEngine
+
+
+@dataclass
+class PageResult:
+    """One crawled page (reference api.py:30-47)."""
+
+    url: str
+    status: str
+    error_type: str | None = None
+    error_message: str | None = None
+    attempts: int = 0
+    file_refs: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class ScrapeResult:
+    """Whole-run result (reference api.py:50-67)."""
+
+    run_name: str
+    warehouse: str
+    pages: list[PageResult]
+    supersteps: int = 0
+
+    @property
+    def ok(self) -> bool:
+        return all(p.status == PageStatus.COMPLETED.value for p in self.pages)
+
+
+def scrape(
+    spark: SparkSession,
+    url: str | list[str],
+    *,
+    run_name: str = "run",
+    warehouse: str,
+    crawl_type: CrawlType = CrawlType.SINGLE_PAGE,
+    crawl_batch_size: int = 1,
+    crawl_max_pages: int = 100,
+    scrape_retries: int = 3,
+    respect_rate_limits: bool = True,
+    respect_robots: bool = True,
+    crawl_delay: int = 1,
+    web_seed: int = 42,
+    **extra,
+) -> ScrapeResult:
+    """Run a crawl and materialize its per-page results.
+
+    Defaults follow the reference CLI (__main__.py:110-117,241-260):
+    single_page, batch 1, 100 pages, 3 retries.
+    """
+    seeds = tuple([url] if isinstance(url, str) else url)
+    cfg = CrawlConfig(
+        run_name=run_name,
+        seeds=seeds,
+        crawl_type=crawl_type,
+        crawl_batch_size=crawl_batch_size,
+        crawl_max_pages=crawl_max_pages,
+        scrape_retries=scrape_retries,
+        respect_rate_limits=respect_rate_limits,
+        respect_robots=respect_robots,
+        crawl_delay=crawl_delay,
+        web_seed=web_seed,
+        extra=extra,
+    )
+    engine = CrawlEngine(spark, cfg, warehouse)
+    state = engine.run()
+    frontier = engine.frontier.read(state["snapshots"].get("frontier"))
+    rows = stats.get_run_pages(frontier, run_name).collect()
+    pages = [
+        PageResult(
+            url=r["url"],
+            status=r["status"],
+            error_type=r["error_type"],
+            error_message=r["error_msg"],
+            attempts=r["attempts"],
+            file_refs=dict(r["file_refs"] or {}),
+        )
+        for r in rows
+    ]
+    return ScrapeResult(
+        run_name=run_name,
+        warehouse=warehouse,
+        pages=pages,
+        supersteps=state["superstep"],
+    )
+
+
+# ----------------------------------------------------- queue management
+# DataFrame re-expressions of `par_scrape queue list|status|retry|reset`
+# (reference queue_cli.py:30-119). Mutations commit a new snapshot.
+
+
+def queue_list(engine: CrawlEngine) -> DataFrame:
+    """`queue list` — per-run status counts (A2)."""
+    return stats.list_runs(engine.frontier.read())
+
+
+def queue_status(engine: CrawlEngine, run: str) -> DataFrame:
+    """`queue status RUN` — zero-filled per-status counts (A1)."""
+    return stats.queue_stats(engine.frontier.read(), run)
+
+
+def queue_retry(engine: CrawlEngine, run: str) -> int:
+    """`queue retry RUN` — requeue errored pages (O6); returns count."""
+    changed = stats.requeue_errors(engine.frontier.read(), run)
+    n = changed.count()
+    if n:
+        snap = engine.frontier.commit_upsert(changed)
+        engine.state["snapshots"]["frontier"] = snap
+        engine.state["done"] = False
+        engine._frontier_df = None
+        engine._commit_state()
+    return n
+
+
+def queue_reset(engine: CrawlEngine, run: str) -> int:
+    """`queue reset RUN` — delete the run's rows (O7); returns count."""
+    frontier = engine.frontier.read()
+    n = frontier.filter(frontier.run == run).count()
+    snap = engine.frontier.commit_overwrite(stats.delete_run(frontier, run))
+    engine.state["snapshots"]["frontier"] = snap
+    engine._frontier_df = None
+    engine._commit_state()
+    return n
+
+
+# ----------------------------------------------------- exports (S6)
+
+
+def export_payload(
+    payload: DataFrame, out_dir: str, formats: tuple[str, ...] = ("parquet",)
+) -> dict[str, str]:
+    """S6 (scrape_data.py:148-239): write the payload table in the
+    requested formats. Binary columns are hex-encoded for text formats."""
+    from pyspark.sql import functions as F
+
+    paths: dict[str, str] = {}
+    for fmt in formats:
+        path = f"{out_dir.rstrip('/')}/{fmt}"
+        if fmt == "parquet":
+            payload.write.mode("overwrite").parquet(path)
+        elif fmt in ("json", "csv"):
+            text_safe = payload.withColumn("bytes", F.hex(F.col("bytes")))
+            if fmt == "json":
+                text_safe.write.mode("overwrite").json(path)
+            else:
+                text_safe.write.mode("overwrite").option("header", True).csv(path)
+        else:
+            raise ValueError(f"unsupported export format {fmt!r}")
+        paths[fmt] = path
+    return paths

@@ -83,6 +83,7 @@ class CrawlConfig:
     respect_rate_limits: bool = True
     respect_robots: bool = True
     crawl_delay: int = 1  # ticks; seed-host override like --crawl-delay
+    if_changed: bool = False  # reuse prior runs' outputs on content-hash match
     max_depth: int | None = None
     web_seed: int = 42  # synthetic web determinism seed
     num_buckets: int = 8  # host_salt buckets; 4096 at 10^10 design point

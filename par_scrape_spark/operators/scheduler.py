@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from par_scrape_spark.config import CANDIDATE_POOL_FACTOR, CANDIDATE_POOL_MIN, PageStatus
+from par_scrape_spark.operators.ranking import dense_rank_parallel
 
 
 def eligible_rows(frontier: DataFrame, run: str, retries: int) -> DataFrame:
@@ -68,9 +69,9 @@ def select_batch(
 
     if not respect_rate_limits:
         pool = eligible.orderBy("queued_seq").limit(batch_size)
-        w = Window.orderBy("queued_seq")
+        w = Window.orderBy("queued_seq")  # batch-bounded rows only
         return (
-            pool.withColumn("parent_rank", F.row_number().over(w) - 1)
+            pool.withColumn("parent_rank", (F.row_number().over(w) - 1).cast("long"))
             .withColumn("last_access", F.lit(0).cast("long"))
             .withColumn("crawl_delay", F.lit(1))
         )
@@ -80,8 +81,15 @@ def select_batch(
         {"last_access": 0, "crawl_delay": 1}
     )
 
+    order = ["last_access", "priority", "queued_seq"]
+    # Pool cut (queue_db.py:393): load-bearing only when more candidates
+    # exist than the pool admits; the common case (politeness-bounded
+    # batches sized to the host count) skips the top-k entirely.
     pool_size = max(batch_size * CANDIDATE_POOL_FACTOR, CANDIDATE_POOL_MIN)
-    pool = joined.orderBy("last_access", "priority", "queued_seq").limit(pool_size)
+    if joined.count() > pool_size:
+        pool = joined.orderBy(*order).limit(pool_size)
+    else:
+        pool = joined
 
     gated = pool.filter(
         (F.col("last_access") == 0)
@@ -95,8 +103,10 @@ def select_batch(
         .drop("_hrn")
     )
 
-    batch_order = Window.orderBy("last_access", "priority", "queued_seq")
+    # Batch rank over one-row-per-host candidates (host-bounded): the
+    # parallel dense rank avoids a single-partition window over what is
+    # a #hosts-sized set at web scale.
     return (
-        first_per_host.withColumn("parent_rank", F.row_number().over(batch_order) - 1)
+        dense_rank_parallel(first_per_host, order, "parent_rank")
         .filter(F.col("parent_rank") < batch_size)
     )

@@ -81,24 +81,41 @@ class CrawlEngine:
         self.spark = spark
         self.config = config
         self.warehouse = warehouse
-        root = os.path.join(warehouse, config.run_name)
-        os.makedirs(root, exist_ok=True)
-        self.root = root
+        # Superstep queries are micro-batches: politeness bounds the batch
+        # to one URL per host, so per-superstep shuffles are small by
+        # construction even at the 10^10 design point. AQE's per-shuffle
+        # re-planning round trips dominate the superstep's fixed cost
+        # (measured ~2x end-to-end drain time); analytical queries over
+        # the big tables should re-enable it.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # Tables are SHARED across runs within a warehouse — the analogue
+        # of the reference's single jobs.sqlite holding every ticket_id
+        # (queue_db.py:18-19); rows are keyed by (run, url), and cross-run
+        # history powers the --if-changed memoization (J4). Runs execute
+        # sequentially per warehouse; RUN_STATE is per run.
+        os.makedirs(warehouse, exist_ok=True)
+        self.root = warehouse
         self.frontier = SnapshotTable(
-            spark, root, "frontier", FRONTIER_SCHEMA,
+            spark, warehouse, "frontier", FRONTIER_SCHEMA,
             key_cols=["run", "url"], partition_cols=["host_salt"],
         )
         self.politeness = SnapshotTable(
-            spark, root, "politeness", POLITENESS_SCHEMA, key_cols=["host"]
+            spark, warehouse, "politeness", POLITENESS_SCHEMA, key_cols=["host"]
         )
-        self.payload = SnapshotTable(spark, root, "payload", PAYLOAD_SCHEMA)
-        self.lineage = SnapshotTable(spark, root, "lineage", LINEAGE_SCHEMA)
+        self.payload = SnapshotTable(spark, warehouse, "payload", PAYLOAD_SCHEMA)
+        self.lineage = SnapshotTable(spark, warehouse, "lineage", LINEAGE_SCHEMA)
         self.filters = FilterStore(
-            os.path.join(root, "_filters"),
+            os.path.join(warehouse, "_filters", config.run_name),
             config.bloom_capacity_per_bucket,
             config.bloom_fpp,
         )
-        self.state_path = os.path.join(root, "RUN_STATE.json")
+        self.state_path = os.path.join(
+            warehouse, f"RUN_STATE-{config.run_name}.json"
+        )
+        # warehouse-global logical clock: politeness last_access is shared
+        # across runs (like the reference's wall clock + shared
+        # domain_rate_limit), so ticks must be monotone across runs too
+        self.clock_path = os.path.join(warehouse, "CLOCK.json")
         self.timings: list[dict] = []  # per-superstep phase wall times
         # in-memory chained table states: the functional image of what is
         # on disk (disk stays the checkpoint / source of truth on resume;
@@ -113,6 +130,7 @@ class CrawlEngine:
             "filter_step": None,
             "done": False,
             "selected_log": [],
+            "tick": 0,
         }
 
     # ------------------------------------------------------------ lifecycle
@@ -126,6 +144,15 @@ class CrawlEngine:
     def _read_table(self, table: SnapshotTable, name: str) -> DataFrame:
         return table.read(self.state["snapshots"].get(name))
 
+    def _read_clock(self) -> int:
+        if os.path.exists(self.clock_path):
+            with open(self.clock_path) as f:
+                return int(json.load(f)["tick"])
+        return 0
+
+    def _write_clock(self, tick: int) -> None:
+        _atomic_json(self.clock_path, {"tick": max(tick, self._read_clock())})
+
     def start(self) -> None:
         """Fresh start: seed the frontier + politeness (reference
         init_db + add_to_queue + robots fetch, runner.py:668-678), commit
@@ -134,6 +161,7 @@ class CrawlEngine:
             self.resume()
             return
         cfg = self.config
+        self.state["tick"] = self._read_clock()
         raw = [u for u in cfg.seeds if policy.is_valid_url(u)]
         canon: list[str] = []
         for u in raw:
@@ -153,14 +181,22 @@ class CrawlEngine:
             .withColumn("queued_at", F.lit(0).cast("long"))
             .withColumn("queued_seq", F.col("queued_seq").cast("long"))
         )
-        frontier_rows = self._align_frontier(rows)
-        fsnap = self.frontier.commit_overwrite(frontier_rows)
+        frontier_rows = self._align_frontier(rows).cache()
+        # upsert, not overwrite: the frontier is shared across runs
+        # (INSERT OR IGNORE analogue — existing (run,url) keys of other
+        # runs untouched; re-seeding the same run replaces its seed rows)
+        fsnap = self.frontier.commit_upsert(frontier_rows)
 
+        # politeness is a shared per-host table like the reference's
+        # domain_rate_limit: new hosts inserted with defaults (J5,
+        # queue_db.py:344-350), existing hosts preserved; the initial
+        # --crawl-delay override applies to seed hosts (runner.py:676-678)
+        existing_pol = self.politeness.read()
         hosts = seeds_df.select("host").distinct()
-        robots = robots_ops.fetch_robots_for_hosts(hosts, cfg.web_seed)
-        # initial crawl-delay seeding for seed hosts (runner.py:676-678)
+        new_hosts = hosts.join(existing_pol.select("host"), "host", "left_anti")
+        robots = robots_ops.fetch_robots_for_hosts(new_hosts, cfg.web_seed)
         delay = cfg.crawl_delay if cfg.crawl_delay > 1 else 1
-        pol = robots.select(
+        pol_new_rows = robots.select(
             "host",
             F.lit(0).cast("long").alias("last_access"),
             F.lit(delay).alias("crawl_delay"),
@@ -168,7 +204,13 @@ class CrawlEngine:
             "robots_fetched",
             "allow_all",
         )
-        psnap = self.politeness.commit_overwrite(pol)
+        if cfg.crawl_delay > 1:
+            overrides = (
+                existing_pol.join(F.broadcast(hosts), "host", "left_semi")
+                .withColumn("crawl_delay", F.lit(cfg.crawl_delay))
+            )
+            pol_new_rows = pol_new_rows.unionByName(overrides)
+        psnap = self.politeness.commit_upsert(pol_new_rows)
 
         self.filters.advance(
             None, 0, frontier_rows.select("host_salt", "url_hash"), cfg.num_buckets
@@ -212,7 +254,7 @@ class CrawlEngine:
         """Run one superstep; returns the number of pages selected."""
         cfg = self.config
         step = self.state["superstep"] + 1
-        tick = step
+        tick = self.state.get("tick", self.state["superstep"]) + 1
         run = cfg.run_name
 
         phase_t: dict[str, float] = {}
@@ -254,7 +296,9 @@ class CrawlEngine:
         batch_in = selected.drop("content_hash")
         fetched = fetch_extract(batch_in, cfg.web_seed, cfg.crawl_type, seed_set).cache()
 
-        candidates = child_candidates(fetched, run, step, tick, cfg.num_buckets)
+        # seq uses the global tick (not the per-run step) so queued_seq
+        # stays a total order across runs sharing the warehouse
+        candidates = child_candidates(fetched, run, tick, tick, cfg.num_buckets)
         candidates = robots_ops.robots_gate(
             candidates, politeness, cfg.respect_robots
         ).cache()
@@ -303,8 +347,50 @@ class CrawlEngine:
 
         # outcome rows for the selected batch
         is_err = F.col("fetch_error").isNotNull()
+
+        # --if-changed memoization (J4, reference runner.py:539-552 /
+        # queue_db.py:626-668): completed pages whose content hash matches
+        # a prior completed row of ANOTHER run reuse that run's outputs
+        outcome_src = fetched
+        if cfg.if_changed:
+            from pyspark.sql import Window
+
+            hist = (
+                frontier.filter(
+                    (F.col("status") == PageStatus.COMPLETED.value)
+                    & (F.col("run") != run)
+                )
+                .select(
+                    "url",
+                    F.col("content_hash").alias("_h_hash"),
+                    F.col("file_refs").alias("prior_file_refs"),
+                    F.col("queued_seq").alias("_h_seq"),
+                    F.col("run").alias("_h_run"),
+                )
+            )
+            w_latest = Window.partitionBy("url", "_h_hash").orderBy(
+                F.col("_h_seq").desc(), F.col("_h_run").desc()
+            )
+            latest = (
+                hist.withColumn("_rn", F.row_number().over(w_latest))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_h_seq", "_h_run")
+            )
+            outcome_src = fetched.join(
+                F.broadcast(
+                    latest.withColumnRenamed("_h_hash", "content_hash")
+                ),
+                ["url", "content_hash"],
+                "left",
+            )
+        else:
+            outcome_src = fetched.withColumn(
+                "prior_file_refs",
+                F.lit(None).cast("map<string,string>"),
+            )
+
         outcomes = (
-            fetched.withColumn(
+            outcome_src.withColumn(
                 "status",
                 F.when(is_err, F.lit(PageStatus.ERROR.value)).otherwise(
                     F.lit(PageStatus.COMPLETED.value)
@@ -321,8 +407,28 @@ class CrawlEngine:
                 "file_refs",
                 F.when(
                     ~is_err,
-                    F.create_map(
-                        F.lit("md"), output_folder_col(F.col("run"), F.col("url"))
+                    F.map_concat(
+                        F.create_map(
+                            F.lit("md"), output_folder_col(F.col("run"), F.col("url"))
+                        ),
+                        # non-md prior outputs carried over verbatim, plus a
+                        # "reused" ref naming the prior artifact (the
+                        # engine's analogue of the reference's file copy,
+                        # runner.py:400-439 — a join projection, no I/O)
+                        F.map_filter(
+                            F.coalesce(
+                                F.col("prior_file_refs"),
+                                F.create_map().cast("map<string,string>"),
+                            ),
+                            lambda k, _: k != "md",
+                        ),
+                        F.when(
+                            F.col("prior_file_refs").isNotNull(),
+                            F.create_map(
+                                F.lit("reused"),
+                                F.element_at(F.col("prior_file_refs"), "md"),
+                            ),
+                        ).otherwise(F.create_map().cast("map<string,string>")),
                     ),
                 ),
             )
@@ -422,7 +528,11 @@ class CrawlEngine:
             .select([f.name for f in LINEAGE_SCHEMA.fields])
         )
 
-        # ---- commits (multi-table; RUN_STATE.json pins the snapshot set)
+        # ---- commits (multi-table; RUN_STATE.json pins the snapshot set).
+        # The frontier upsert runs first (it materializes every shared
+        # cache); the remaining four commits are independent tables, so
+        # they run as CONCURRENT Spark jobs — sequential job-scheduling
+        # latency was the superstep's fixed cost.
         t1 = time.time()
         upsert = upsert.cache()
         fsnap = self.frontier.commit_upsert(upsert)
@@ -434,23 +544,25 @@ class CrawlEngine:
 
         t1 = time.time()
         pol_new = pol_new.cache()
-        psnap = self.politeness.commit_overwrite(pol_new)
-        phase_t["politeness_commit"] = time.time() - t1
-
-        t1 = time.time()
-        paysnap = self.payload.commit_append(images)
-        phase_t["payload_commit"] = time.time() - t1
-
-        t1 = time.time()
-        lsnap = self.lineage.commit_append(lineage)
-        phase_t["lineage_commit"] = time.time() - t1
-
-        t1 = time.time()
         prev_fstep = self.state.get("filter_step")
-        self.filters.advance(
-            prev_fstep, step, new_rows.select("host_salt", "url_hash"), cfg.num_buckets
-        )
-        phase_t["filters"] = time.time() - t1
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            fut_pol = pool.submit(self.politeness.commit_overwrite, pol_new)
+            fut_pay = pool.submit(self.payload.commit_append, images)
+            fut_lin = pool.submit(self.lineage.commit_append, lineage)
+            fut_filters = pool.submit(
+                self.filters.advance,
+                prev_fstep,
+                step,
+                new_rows.select("host_salt", "url_hash"),
+                cfg.num_buckets,
+            )
+            psnap = fut_pol.result()
+            paysnap = fut_pay.result()
+            lsnap = fut_lin.result()
+            fut_filters.result()
+        phase_t["side_commits"] = time.time() - t1
 
         if cfg.log_selection:
             sel_urls = [
@@ -461,6 +573,7 @@ class CrawlEngine:
         self.state.update(
             {
                 "superstep": step,
+                "tick": tick,
                 "pages": self.state["pages"] + n_selected,
                 "snapshots": {
                     "frontier": fsnap,
@@ -472,6 +585,7 @@ class CrawlEngine:
             }
         )
         self._commit_state()
+        self._write_clock(tick)
 
         # chain the in-memory table images forward (same latest-wins
         # semantics as the MoR read; disk already holds the commit)

@@ -28,11 +28,12 @@ def get_spark(
             shuffle_partitions = int(master[6:-1])
         else:
             shuffle_partitions = cores
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1") == "1"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,78 @@
+"""--if-changed memoization (J4): a second run over the same pages reuses
+the first run's outputs on content-hash match (reference
+runner.py:539-552, tests/test_runner.py:334-426 shape)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from par_scrape_spark.config import CrawlConfig, CrawlType
+from par_scrape_spark.plans.crawl import CrawlEngine
+
+
+def _cfg(run, if_changed):
+    return CrawlConfig(
+        run_name=run,
+        seeds=("http://site-00000.example", "http://site-00001.example"),
+        crawl_type=CrawlType.SINGLE_PAGE,
+        crawl_batch_size=2,
+        crawl_max_pages=2,
+        if_changed=if_changed,
+    )
+
+
+@pytest.mark.slow
+def test_if_changed_reuses_prior_outputs(spark):
+    wh = tempfile.mkdtemp(prefix="memo_")
+    try:
+        # first run populates history
+        eng1 = CrawlEngine(spark, _cfg("memo_a", False), wh)
+        eng1.run()
+        rows1 = {
+            r["url"]: dict(r["file_refs"] or {})
+            for r in eng1.frontier.read()
+            .filter(F.col("status") == "completed")
+            .collect()
+        }
+        assert rows1
+
+        # second run with --if-changed: identical synthetic pages → same
+        # content hash → prior refs merged in
+        eng2 = CrawlEngine(spark, _cfg("memo_b", True), wh)
+        eng2.run()
+        rows2 = {
+            r["url"]: (dict(r["file_refs"] or {}), r["content_hash"])
+            for r in eng2.frontier.read()
+            .filter((F.col("run") == "memo_b") & (F.col("status") == "completed"))
+            .collect()
+        }
+        assert set(rows2) == set(rows1)
+        for url, (refs, chash) in rows2.items():
+            assert chash is not None
+            # own md path present and run-scoped
+            assert refs["md"].startswith("memo_b/")
+            # reuse marker points at the prior run's artifact
+            assert refs.get("reused") == rows1[url]["md"]
+            assert refs["reused"].startswith("memo_a/")
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_without_if_changed_no_reuse(spark):
+    wh = tempfile.mkdtemp(prefix="memo2_")
+    try:
+        CrawlEngine(spark, _cfg("m_a", False), wh).run()
+        eng = CrawlEngine(spark, _cfg("m_b", False), wh)
+        eng.run()
+        refs = [
+            dict(r["file_refs"] or {})
+            for r in eng.frontier.read()
+            .filter((F.col("run") == "m_b") & (F.col("status") == "completed"))
+            .collect()
+        ]
+        assert refs and all("reused" not in m for m in refs)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
