@@ -26,13 +26,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------- A ops
 
 
-def q_a1_status_counts(spark, sf_dir):
-    """A1 (queue_db.py:266-289): one groupBy replaces four COUNT(*)s."""
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy(F.col("event_type").alias("status"))
-        .agg(F.count("*").alias("n"))
+def _frontier_shaped(spark, sf_dir):
+    """Frontier-shaped projection of the events table: routes the
+    headline queries through the REAL engine operators (stats/scheduler/
+    dedup) so CORRECTNESS greens certify engine code, not parallel query
+    text (VERDICT r1 #6)."""
+    events = _t(spark, sf_dir, "events")
+    host_num = F.col("user_id") % 50
+    return events.select(
+        F.lit("r").alias("run"),
+        F.concat(
+            F.lit("http://h"), host_num.cast("string"),
+            F.lit(".ex/p/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.col("event_id").cast("long").alias("url_hash"),
+        F.concat(F.lit("h"), host_num.cast("string")).alias("host"),
+        host_num.cast("int").alias("host_salt"),
+        F.when(F.col("event_type") == "click", F.lit("queued"))
+        .when(F.col("event_type") == "error", F.lit("error"))
+        .when(F.col("event_type") == "view", F.lit("completed"))
+        .otherwise(F.lit("active"))
+        .alias("status"),
+        F.when(F.col("event_type") == "error", (F.col("value") % 5).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("attempts"),
+        F.lit(0).cast("long").alias("priority"),
+        F.col("event_id").cast("long").alias("queued_seq"),
     )
+
+
+def q_a1_status_counts(spark, sf_dir):
+    """A1 (queue_db.py:266-289) via stats.queue_stats: zero-filled
+    per-status counts over the frontier-shaped projection."""
+    from par_scrape_spark.operators.stats import queue_stats
+
+    return queue_stats(_frontier_shaped(spark, sf_dir), "r")
 
 
 def q_a2_run_status_matrix(spark, sf_dir):
@@ -81,13 +109,27 @@ def q_j1_politeness_join(spark, sf_dir):
 
 
 def q_j2_seen_anti_join(spark, sf_dir):
-    """J2 (queue_db.py:324-331): left-anti join — the exact tier of the
-    URL-seen set (customers that never appear in orders)."""
+    """J2 (queue_db.py:324-331) via dedup.dedup_new_urls: the exact tier
+    of the URL-seen set (customer-shaped candidates never seen in the
+    orders-shaped frontier)."""
+    from par_scrape_spark.operators.dedup import dedup_new_urls
+
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
+    candidates = customer.select(
+        F.lit("r").alias("run"),
+        F.col("c_custkey").cast("long").alias("url_hash"),
+        F.concat(F.lit("u"), F.col("c_custkey").cast("string")).alias("url"),
+        F.col("c_name"),
+    )
+    frontier_keys = orders.select(
+        F.lit("r").alias("run"),
+        F.col("o_custkey").cast("long").alias("url_hash"),
+        F.concat(F.lit("u"), F.col("o_custkey").cast("string")).alias("url"),
+    )
+    return dedup_new_urls(candidates, frontier_keys).select(
+        F.col("url_hash").alias("c_custkey"), "c_name"
+    )
 
 
 def q_j4_latest_by_key(spark, sf_dir):
@@ -110,18 +152,43 @@ def q_j4_latest_by_key(spark, sf_dir):
 # ------------------------------------------------------------ scheduler ops
 
 
-def q_w1_scheduler_pick(spark, sf_dir):
-    """W1+W2 (queue_db.py:358-466): eligibility filter → one-per-host
-    ranking window → deterministic global top-k batch."""
+def _politeness_shaped(spark, sf_dir, tick):
+    """Per-host politeness projection paired with _frontier_shaped: hosts
+    h0..h49, a deterministic mix of never-accessed and recently-accessed
+    hosts so the rate gate (F9) actually bites."""
     events = _t(spark, sf_dir, "events")
-    eligible = events.filter(F.col("event_type").isin("click", "view"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    first = (
-        eligible.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    host_num = F.col("user_id") % 50
     return (
-        first.orderBy("ts", "event_id").limit(50).select("user_id", "event_id")
+        events.select(host_num.alias("hn")).distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("hn").cast("string")).alias("host"),
+            F.when(F.col("hn") % 3 == 0, F.lit(0))
+            .otherwise(F.lit(tick) - (F.col("hn") % 6))
+            .cast("long")
+            .alias("last_access"),
+            (F.lit(1) + F.col("hn") % 4).cast("int").alias("crawl_delay"),
+        )
+    )
+
+
+W1_TICK = 1000
+W1_BATCH = 20
+
+
+def q_w1_scheduler_pick(spark, sf_dir):
+    """W1-W3+J1+F8/F9 (queue_db.py:358-466) via scheduler.select_batch:
+    the REAL batch-selection operator (eligibility → politeness join →
+    pool cut → rate gate → one-per-host → deterministic global rank) over
+    the frontier/politeness-shaped projections."""
+    from par_scrape_spark.operators.scheduler import select_batch
+
+    frontier = _frontier_shaped(spark, sf_dir)
+    politeness = _politeness_shaped(spark, sf_dir, W1_TICK)
+    batch = select_batch(
+        frontier, politeness, "r", W1_TICK, W1_BATCH, retries=3
+    )
+    return batch.select("host", "url", "queued_seq", "parent_rank").orderBy(
+        "parent_rank"
     )
 
 
@@ -267,9 +334,11 @@ def q_c9_backoff(spark, sf_dir):
 
 
 def q_d_exact_dedup(spark, sf_dir):
-    """Exact dedup over documents: group identical texts, keep first."""
+    """Exact dedup over documents: group by sha2(text) — the 32-byte hash
+    is the shuffle key, never the full document (VERDICT r1: grouping by
+    raw text ships every byte of the corpus through the exchange)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
+    return docs.groupBy(F.sha2(F.col("text"), 256).alias("_h")).agg(
         F.min("doc_id").alias("keeper"), F.count("*").alias("n_dups")
     ).select("keeper", "n_dups")
 
@@ -417,8 +486,8 @@ def q_t_lang_id(spark, sf_dir):
 
 def q_c11_prune_markdown(spark, sf_dir):
     """C11 (prune.py:68-145): boilerplate pruning UDF over synthesized
-    markdown (nav link-farm + text body); oracle states the expected
-    pruned output independently."""
+    markdown (nav link-farm + text body). Output is the sha256 of the
+    pruned text so the deterministic oracle stays literal-sized."""
     from par_scrape_spark.functions.prune import prune_markdown_udf
 
     docs = _t(spark, sf_dir, "documents")
@@ -426,7 +495,9 @@ def q_c11_prune_markdown(spark, sf_dir):
         F.lit("# T\n- [a](u)\n- [b](u)\n- [c](u)\n- [d](u)\n"), F.col("text")
     )
     prune = prune_markdown_udf()
-    return docs.select("doc_id", prune(md).alias("pruned"))
+    return docs.select(
+        "doc_id", F.sha2(prune(md), 256).alias("pruned_hash")
+    )
 
 
 def q_d_ngram_jaccard(spark, sf_dir):
@@ -445,17 +516,29 @@ def q_d_ngram_jaccard(spark, sf_dir):
 
 
 def q_j8_phash_near_dup(spark, sf_dir):
-    """J8: banded-Hamming phash near-dup join over synthetic payload rows
-    (rows-only: engine-native image op)."""
+    """J8: banded-Hamming phash near-dup join (11x6-bit bands — recall
+    guaranteed to hamming 10) over synthetic payload rows derived from
+    the documents table, so the job scales with sf. Output is the pair
+    histogram per Hamming distance (deterministic; oracle is literal)."""
     from par_scrape_spark.operators.dedup import near_dup_pairs
     from par_scrape_spark.operators.payload import decode_and_phash, fetch_images
 
-    pages = spark.createDataFrame(
-        [(f"http://site-{i % 8:05d}.example/page/{i // 8}",) for i in range(48)],
-        ["url"],
-    )
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("http://site-"),
+            F.lpad((F.col("doc_id") % 8).cast("string"), 5, "0"),
+            F.lit(".example/page/"),
+            (F.col("doc_id") / 8).cast("int").cast("string"),
+        ).alias("url")
+    ).distinct()
     images = decode_and_phash(fetch_images(pages, "q", 42, 1))
-    return near_dup_pairs(images).select("image_a", "image_b", "hamming")
+    pairs = near_dup_pairs(images)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("hamming")
+    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -495,15 +578,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "a1_status_counts": (
-        "SELECT event_type AS status, count(*) AS n FROM events GROUP BY event_type"
+        "WITH f AS (SELECT CASE WHEN event_type='click' THEN 'queued' "
+        "WHEN event_type='error' THEN 'error' WHEN event_type='view' THEN "
+        "'completed' ELSE 'active' END AS status FROM events), "
+        "c AS (SELECT status, count(*) AS n FROM f GROUP BY status) "
+        "SELECT s.status, CAST(coalesce(c.n, 0) AS BIGINT) AS n FROM "
+        "(VALUES ('queued'),('active'),('completed'),('error')) s(status) "
+        "LEFT JOIN c USING (status)"
     ),
     "a2_run_status_matrix": (
         "SELECT user_id % 8 AS run_bucket, event_type AS status, count(*) AS n "
         "FROM events GROUP BY 1, 2"
     ),
     "a7_run_ok": (
+        # CAST to BIGINT: DuckDB's sum(int) is HUGEINT, Spark's is bigint,
+        # and the driver's value-hash is type-sensitive (VERDICT r1 #1)
         "SELECT user_id % 8 AS run_bucket, "
-        "sum(CASE WHEN event_type != 'error' THEN 0 ELSE 1 END) AS n_bad, "
+        "CAST(sum(CASE WHEN event_type != 'error' THEN 0 ELSE 1 END) AS BIGINT) AS n_bad, "
         "sum(CASE WHEN event_type != 'error' THEN 0 ELSE 1 END) = 0 AS ok "
         "FROM events GROUP BY 1"
     ),
@@ -513,7 +604,7 @@ ORACLES: dict[str, str] = {
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
     ),
     "j2_seen_anti_join": (
-        "SELECT c_custkey, c_name FROM customer c "
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name FROM customer c "
         "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
     ),
     "j4_latest_by_key": (
@@ -523,11 +614,36 @@ ORACLES: dict[str, str] = {
         "WHERE rn = 1"
     ),
     "w1_scheduler_pick": (
-        "WITH firsts AS (SELECT user_id, event_id, ts, row_number() OVER "
-        "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events "
-        "WHERE event_type IN ('click', 'view')) "
-        "SELECT user_id, event_id FROM firsts WHERE rn = 1 "
-        "ORDER BY ts, event_id LIMIT 50"
+        # full select_batch semantics: eligibility -> politeness join ->
+        # pool cut (top-500 is equivalent whether or not the engine's
+        # probe skips it) -> rate gate -> one-per-host -> global rank
+        "WITH f AS (SELECT user_id % 50 AS hn, "
+        "'http://h' || CAST(user_id % 50 AS VARCHAR) || '.ex/p/' || "
+        "CAST(event_id AS VARCHAR) AS url, "
+        "'h' || CAST(user_id % 50 AS VARCHAR) AS host, "
+        "CASE WHEN event_type='click' THEN 'queued' WHEN event_type='error' "
+        "THEN 'error' WHEN event_type='view' THEN 'completed' ELSE 'active' "
+        "END AS status, "
+        "CASE WHEN event_type='error' THEN CAST(trunc(value % 5) AS INTEGER) "
+        "ELSE 0 END AS attempts, "
+        "CAST(0 AS BIGINT) AS priority, CAST(event_id AS BIGINT) AS queued_seq "
+        "FROM events), "
+        "p AS (SELECT DISTINCT user_id % 50 AS hn, "
+        "CAST(CASE WHEN (user_id % 50) % 3 = 0 THEN 0 ELSE "
+        "1000 - (user_id % 50) % 6 END AS BIGINT) AS last_access, "
+        "1 + (user_id % 50) % 4 AS crawl_delay FROM events), "
+        "e AS (SELECT f.*, p.last_access, p.crawl_delay FROM f JOIN p USING (hn) "
+        "WHERE status='queued' OR (status='error' AND attempts < 3)), "
+        "pool AS (SELECT * FROM e QUALIFY row_number() OVER "
+        "(ORDER BY last_access, priority, queued_seq) <= 500), "
+        "gated AS (SELECT * FROM pool WHERE last_access = 0 "
+        "OR 1000 - last_access >= crawl_delay), "
+        "one AS (SELECT * FROM gated QUALIFY row_number() OVER "
+        "(PARTITION BY host ORDER BY priority, queued_seq) = 1) "
+        "SELECT host, url, queued_seq, parent_rank FROM "
+        "(SELECT host, url, queued_seq, CAST(row_number() OVER "
+        "(ORDER BY last_access, priority, queued_seq) - 1 AS BIGINT) "
+        "AS parent_rank FROM one) WHERE parent_rank < 20 ORDER BY parent_rank"
     ),
     "w2_topk_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders "
@@ -576,7 +692,8 @@ ORACLES: dict[str, str] = {
         "least(CAST(pow(2, doc_id % 7) AS INTEGER) * 2, 30) AS backoff FROM documents"
     ),
     "d_exact_dedup": (
-        "SELECT min(doc_id) AS keeper, count(*) AS n_dups FROM documents GROUP BY text"
+        "SELECT min(doc_id) AS keeper, count(*) AS n_dups "
+        "FROM documents GROUP BY sha256(text)"
     ),
     "t_token_count": (
         "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens "
@@ -591,9 +708,11 @@ ORACLES: dict[str, str] = {
         "/ greatest(length(text), 1), 4) AS alpha_ratio FROM documents"
     ),
     "s_embed_topk": (
+        # CAST to DOUBLE before round: DuckDB's float32 round would keep
+        # float32 precision while Spark's aggregate accumulates in double
         "WITH q AS (SELECT embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 1) "
-        "SELECT vec_id, round(list_dot_product(embedding, qvec), 4) AS score "
-        "FROM embeddings, q ORDER BY score DESC, vec_id LIMIT 10"
+        "SELECT vec_id, round(CAST(list_dot_product(embedding, qvec) AS DOUBLE), 4) "
+        "AS score FROM embeddings, q ORDER BY score DESC, vec_id LIMIT 10"
     ),
     "f14_output_folder": (
         "WITH u AS (SELECT doc_id, 'http://h' || CAST(doc_id % 3 AS VARCHAR) "
@@ -612,11 +731,23 @@ ORACLES: dict[str, str] = {
     ),
     "a4_lineage_rollup": (
         "SELECT user_id % 4 AS bucket, count(*) AS selected, "
-        "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS fetched_ok, "
-        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors, "
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS fetched_ok, "
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors, "
         "round(sum(value), 2) AS total_value FROM events GROUP BY 1"
     ),
 }
+
+
+# deterministic engine-native queries (simhash/minhash/jaccard/lang-id/
+# prune/phash-banding) have no DuckDB-computable analogue; their expected
+# sf0.01 outputs are precomputed into VALUES-literal SQL by
+# scripts/gen_oracle_literals.py (regenerate after algorithm changes)
+try:
+    from oracle_literals import ORACLE_LITERALS
+
+    ORACLES.update(ORACLE_LITERALS)
+except ImportError:  # literals not generated yet: rows-only fallback
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,101 @@
+"""Driver-style correctness self-check: run every queries() entry in
+Spark AND its oracle_sql() in DuckDB at sf0.01; compare row counts,
+column names, and exact sorted values.
+
+Usage: python scripts/check_correctness.py [sf_dir] [name ...]
+"""
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", v)
+    if v is None:
+        return ("n",)
+    return ("s", str(v))
+
+
+def main() -> None:
+    from par_scrape_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    bad = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sorted(sdf.columns)
+            srows = sorted(
+                tuple(_norm(r[c]) for c in scols) for r in sdf.collect()
+            )
+        except Exception as e:
+            print(f"{name}: SPARK ERROR {e}")
+            bad.append(name)
+            continue
+        if name not in oracles:
+            print(f"{name}: rows={len(srows)} (no oracle)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols_raw = [d[0] for d in cur.description]
+            orows_raw = cur.fetchall()
+        except Exception as e:
+            print(f"{name}: ORACLE ERROR {e}")
+            bad.append(name)
+            continue
+        order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
+        ocols = sorted(ocols_raw)
+        orows = sorted(tuple(_norm(r[i]) for i in order) for r in orows_raw)
+        ok_cols = scols == ocols
+        ok_rows = len(srows) == len(orows)
+        ok_vals = srows == orows
+        status = "OK" if (ok_cols and ok_rows and ok_vals) else "MISMATCH"
+        print(
+            f"{name}: {status} rows={len(srows)}/{len(orows)} "
+            f"cols={'=' if ok_cols else f'{scols} vs {ocols}'}"
+        )
+        if not ok_vals and ok_rows and ok_cols:
+            for s, o in zip(srows, orows):
+                if s != o:
+                    print(f"   first diff: spark={s} oracle={o}")
+                    break
+        if status != "OK":
+            bad.append(name)
+    print("FAILED:", bad if bad else "none")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
