@@ -392,15 +392,35 @@ def dedup_payload_exact(payload: DataFrame) -> DataFrame:
     )
 
 
-def near_dup_pairs(payload: DataFrame, bands: int = 4, max_hamming: int = 10) -> DataFrame:
+def near_dup_pairs(payload: DataFrame, bands: int = 11, max_hamming: int = 10) -> DataFrame:
     """J8: banded-Hamming candidate self-join over phash.
 
-    Split each 64-bit phash into ``bands`` 16-bit bands; two images within
-    Hamming distance ``bands-1`` must share at least one exact band
-    (pigeonhole), so the band-bucket equi-join finds all close pairs
-    without an O(n²) cross join. Pairs are then verified with an exact
-    popcount on the XOR.
+    Split each 64-bit phash into ``bands`` contiguous bit bands; two
+    images within Hamming distance ``bands-1`` must share at least one
+    exact band (pigeonhole), so the band-bucket equi-join finds all close
+    pairs without an O(n²) cross join. Pairs are then verified with an
+    exact popcount on the XOR.
+
+    Recall guarantee requires ``bands > max_hamming`` — with fewer bands
+    the pigeonhole argument only covers distance ``bands-1`` and pairs
+    beyond it can share no band (round-1 recall bug: 4x16-bit bands
+    filtered at hamming<=10 silently missed distances 4-10).
     """
+    if bands > 64:
+        raise ValueError(f"bands={bands} exceeds the 64 phash bits")
+    width = (64 + bands - 1) // bands  # last band may be narrower
+    spans = [
+        (i * width, min(width, 64 - i * width))
+        for i in range(bands)
+        if i * width < 64
+    ]
+    # ceil-width packing can cover 64 bits in fewer spans than requested;
+    # the pigeonhole guarantee is over the EFFECTIVE band count
+    if len(spans) <= max_hamming:
+        raise ValueError(
+            f"effective bands={len(spans)} <= max_hamming={max_hamming}: "
+            f"pigeonhole recall guarantee broken; need bands > max_hamming"
+        )
     banded = payload.select("image_id", "phash").withColumn(
         "band",
         F.explode(
@@ -408,11 +428,11 @@ def near_dup_pairs(payload: DataFrame, bands: int = 4, max_hamming: int = 10) ->
                 *[
                     F.struct(
                         F.lit(i).alias("band_no"),
-                        F.shiftright(F.col("phash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("phash"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
                         .alias("band_val"),
                     )
-                    for i in range(bands)
+                    for i, (off, w) in enumerate(spans)
                 ]
             )
         ),

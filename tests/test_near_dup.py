@@ -1,0 +1,67 @@
+"""J8 banded-Hamming near-dup recall: the pigeonhole guarantee must hold
+for every distance <= max_hamming (round-1 regression: 4x16-bit bands
+missed distances 4-10 that shared no band)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from par_scrape_spark.operators.dedup import near_dup_pairs
+
+
+def _flip_bits(h: int, positions: list[int]) -> int:
+    for p in positions:
+        h ^= 1 << p
+    return h - (1 << 64) if h >= 1 << 63 else h  # signed int64 view
+
+
+BASE = 0x5A5A_F0F0_C3C3_1E1E
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    # one partner per distance 1..12; bit positions chosen so the flipped
+    # bits SPREAD across 6-bit bands (the adversarial case for banding)
+    rows = [("base", BASE)]
+    for d in range(1, 13):
+        positions = [(i * 6 + i) % 64 for i in range(d)]  # one per band
+        rows.append((f"d{d:02d}", _flip_bits(BASE, sorted(set(positions))[:d])))
+    df = spark.createDataFrame(rows, ["image_id", "phash"]).withColumn(
+        "phash", F.col("phash").cast("long")
+    )
+    return df
+
+
+def test_recall_all_distances_up_to_max(planted):
+    pairs = near_dup_pairs(planted, bands=11, max_hamming=10)
+    got = {
+        (r["image_a"], r["image_b"]): r["hamming"]
+        for r in pairs.filter(
+            (F.col("image_a") == "base") | (F.col("image_b") == "base")
+        ).collect()
+    }
+    for d in range(1, 11):
+        key = ("base", f"d{d:02d}")
+        assert key in got, f"distance-{d} pair missed by banded join"
+        assert got[key] == d
+    # pairs beyond max_hamming must be filtered out
+    assert ("base", "d11") not in got
+    assert ("base", "d12") not in got
+
+
+def test_planted_distance_8_pair(spark):
+    """The VERDICT's canonical repro: a distance-8 pair whose differing
+    bits all land in different 16-bit quadrants (invisible to 4x16
+    banding) must be found."""
+    other = _flip_bits(BASE, [2, 10, 18, 26, 34, 42, 50, 58])
+    df = spark.createDataFrame(
+        [("a", BASE), ("b", other)], ["image_id", "phash"]
+    ).withColumn("phash", F.col("phash").cast("long"))
+    rows = near_dup_pairs(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["hamming"] == 8
+
+
+def test_bands_must_exceed_max_hamming(spark):
+    df = spark.createDataFrame([("a", 1)], ["image_id", "phash"])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        near_dup_pairs(df, bands=4, max_hamming=10)

@@ -1,0 +1,99 @@
+"""Text dedup/fingerprint operators: vectorized simhash/minhash
+properties, LSH recall on planted near-dups, exact-dup pre-pass."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from par_scrape_spark.functions.text import (
+    _minhash_batch,
+    _simhash_batch,
+    lang_id,
+    minhash_near_dup_pairs,
+    minhash_signature,
+    simhash64,
+)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+BODY = " ".join(f"tok{i:03d} word{i % 7}" for i in range(60))
+
+
+def test_simhash_deterministic_and_batch_equals_scalar():
+    texts = [BODY, "short one two three", "", "ünïcode tökens " * 5]
+    batch = _simhash_batch(pd.Series(texts))
+    for t, h in zip(texts, batch):
+        assert simhash64(t) == int(h)
+    assert int(_simhash_batch(pd.Series([BODY]))[0]) == int(batch[0])
+
+
+def test_simhash_near_duplicates_are_close():
+    a = simhash64(BODY)
+    b = simhash64(BODY + " extra tail token")
+    c = simhash64(" ".join(f"zzz{i}" for i in range(60)))
+    assert _ham(a, b) <= 12
+    assert _ham(a, c) > 12
+
+
+def test_simhash_empty_is_zero():
+    assert simhash64("") == 0
+
+
+def test_minhash_batch_equals_scalar():
+    texts = [BODY, BODY + " tail", "a b", None]
+    got = _minhash_batch(pd.Series(texts))
+    assert got[0] == minhash_signature(BODY)
+    assert got[1] == minhash_signature(BODY + " tail")
+    assert got[2] is None  # fewer tokens than SHINGLE_K
+    assert got[3] is None
+    assert len(got[0]) == 32
+
+
+def test_minhash_estimate_tracks_similarity():
+    sig_same = minhash_signature(BODY)
+    sig_near = minhash_signature(BODY + " one appended token here")
+    sig_far = minhash_signature(" ".join(f"q{i}" for i in range(63)))
+    match_near = sum(x == y for x, y in zip(sig_same, sig_near)) / 32
+    match_far = sum(x == y for x, y in zip(sig_same, sig_far)) / 32
+    assert match_near > 0.6
+    assert match_far < 0.2
+
+
+def test_lsh_finds_planted_near_dup(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, BODY),
+            (2, BODY + " appended tail token"),
+            (3, " ".join(f"other{i}" for i in range(80))),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_near_dup_pairs(docs, min_est_jaccard=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_lsh_exact_dup_prepass_collapses_identicals(spark):
+    # 40 byte-identical docs + 1 near-dup: without the pre-pass the band
+    # join would emit C(40,2)+40 pairs; with it, only the representative
+    # (min id) pairs with the near-dup
+    rows = [(i, BODY) for i in range(40)] + [(99, BODY + " tail tok")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_near_dup_pairs(docs, min_est_jaccard=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 99)}
+
+
+def test_lang_id_heuristics():
+    assert lang_id("the cat sat on the mat with it for the win") == "en"
+    assert lang_id("der hund ist nicht mit der katze und das haus") == "de"
+    assert lang_id("это просто русский текст для проверки") == "ru"
+    assert lang_id("") == "und"
+
+
+def test_quality_and_token_count_jvm_side(spark):
+    df = spark.createDataFrame([(1, "Hello world foo")], ["doc_id", "text"])
+    got = df.select(
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    ).first()
+    assert got["n_tokens"] == 3
