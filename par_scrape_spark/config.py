@@ -8,8 +8,18 @@ additions: logical clock, bucket counts, and determinism knobs.
 
 from __future__ import annotations
 
+import uuid
 from dataclasses import dataclass, field
 from enum import Enum
+
+
+class OutputFormat(str, Enum):
+    """Export formats (reference enums.py:15-21)."""
+
+    MARKDOWN = "md"
+    JSON = "json"
+    CSV = "csv"
+    EXCEL = "excel"
 
 
 class CrawlType(str, Enum):
@@ -84,12 +94,27 @@ class CrawlConfig:
     respect_robots: bool = True
     crawl_delay: int = 1  # ticks; seed-host override like --crawl-delay
     if_changed: bool = False  # reuse prior runs' outputs on content-hash match
-    max_depth: int | None = None
+    max_depth: int | None = None  # drop discovered links deeper than this
+    prune: bool = False  # prune boilerplate from the markdown fed to
+    # extraction (ENH-003, reference runner.py:556-559); the artifact save
+    # and content hash always use the UNPRUNED markdown (runner.py:531)
+    extract_fields: tuple[str, ...] = ()  # dynamic extraction fields; empty
+    # = markdown-only run (reference ai_provider=None)
     web_seed: int = 42  # synthetic web determinism seed
     num_buckets: int = 8  # host_salt buckets; 4096 at 10^10 design point
     bloom_capacity_per_bucket: int = 1 << 17
     bloom_fpp: float = 1e-3
     compact_every: int = 8  # fold frontier deltas into base every N supersteps
+    broadcast_row_limit: int = 500_000  # per-superstep discovery sets above
+    # this take a shuffle join instead of a forced broadcast (OOM guard)
     log_selection: bool = True  # record per-superstep selection order in
     # RUN_STATE.json (the equivalence-test artifact; off for big benches)
     extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        # run-name sanitization (reference runner.py:193-196): the name is
+        # used in filesystem paths (RUN_STATE-<run>.json, filter sidecar
+        # dirs), so anything but [alnum-_] is a traversal hazard
+        sanitized = "".join(c for c in self.run_name if c.isalnum() or c in "-_")
+        if sanitized != self.run_name:
+            object.__setattr__(self, "run_name", sanitized or uuid.uuid4().hex)

@@ -1,0 +1,211 @@
+"""S-extraction: runtime dynamic-field schema + structured-extraction stage.
+
+The reference's reason to exist is LLM field extraction: a runtime
+Pydantic model of all-string fields (create_dynamic_model,
+/root/reference/src/par_scrape/scrape_data.py:41-59), a container with
+``listings: list[model]`` (create_container_model, scrape_data.py:62-72),
+and ``format_data`` (scrape_data.py:75-136) which sends the page
+markdown to the LLM and raises ``ScrapeError`` on any failure —
+ARC-001: a failed extraction must become an error row, never a silent
+COMPLETED (reference tests/test_scrape_data.py:99-126).
+
+Spark-first translation:
+
+- :func:`fields_schema` builds the **runtime StructType** from the
+  ``fields`` config — the create_dynamic_model analogue.
+- :func:`extract_structured` is one ``mapInPandas`` stage occupying the
+  exact boundary the LLM call occupies in the reference (between prune
+  and save-formatted, runner.py:557-585). The sandbox extractor is a
+  deterministic pure function of the markdown — like the synthetic
+  fetch stands in for Playwright — so crawls stay replayable; a real
+  deployment swaps in an async LLM client per partition, nothing
+  upstream or downstream changes.
+- listings persist as ``array<map<string,string>>`` so the extraction
+  TABLE schema is static; :func:`explode_listings` applies the runtime
+  StructType at read/export time (one row per listing, one column per
+  dynamic field).
+
+Failure semantics (parity with format_data + runner.py:577-578):
+- extractor finds no listings → ``"No data was found by the LLM."``
+- extractor blow-up → ``"LLM extraction failed: <reason>"``
+Both surface as ``extract_error`` and route through classify_error to
+an error-status frontier row.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# the extraction stage's output columns (appended to its input schema)
+EXTRACT_RESULT_FIELDS = [
+    T.StructField("extract_error", T.StringType()),
+    T.StructField(
+        "listings", T.ArrayType(T.MapType(T.StringType(), T.StringType()))
+    ),
+    T.StructField("extract_cost", T.DoubleType()),
+]
+
+# extraction rows table (static schema; dynamic fields live in the map)
+EXTRACTION_SCHEMA = T.StructType(
+    [
+        T.StructField("run", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("fetched_at", T.LongType(), False),
+        T.StructField("listing_idx", T.IntegerType(), False),
+        T.StructField("fields", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def fields_schema(field_names: list[str] | tuple[str, ...]) -> T.StructType:
+    """Runtime dynamic-listing schema: one nullable string field per name
+    (create_dynamic_model parity — the reference types every field str,
+    scrape_data.py:52)."""
+    if not field_names:
+        raise ValueError("fields must be non-empty")
+    if len(set(field_names)) != len(field_names):
+        raise ValueError(f"duplicate field names: {field_names}")
+    return T.StructType([T.StructField(f, T.StringType(), True) for f in field_names])
+
+
+_PRICE_RE = re.compile(r"\bprice (\d+)")
+_CAPTION_RE = re.compile(r"!\[([^\]]*)\]")
+_WORD_RE = re.compile(r"\bw(\d{3})\b")
+
+
+def _stable_idx(s: str, n: int) -> int:
+    # deterministic, process-independent (no PYTHONHASHSEED dependence)
+    acc = 0
+    for ch in s:
+        acc = (acc * 131 + ord(ch)) & 0x7FFFFFFF
+    return acc % n
+
+
+def extract_listings(markdown: str, field_names: list[str]) -> list[dict[str, str]]:
+    """Deterministic stand-in for the LLM extraction of one page.
+
+    Semantics (a pure function of the markdown, as an idealized
+    deterministic LLM would be): one listing per image caption (the
+    page's "items"), or one page-level listing when the page has no
+    captions. Field values derive from page content:
+
+    - a field whose name contains "price" → the page's price figure;
+    - a field whose name contains "model"/"title"/"name" → the listing
+      caption (or the page heading);
+    - any other field → a stable content token chosen by the field name.
+
+    Returns [] when the page body carries no extractable price signal —
+    the deterministic analogue of the LLM finding nothing
+    (→ "No data was found by the LLM.", runner.py:577-578).
+    """
+    price_m = _PRICE_RE.search(markdown)
+    if price_m is None:
+        return []
+    price = price_m.group(1)
+    heading = markdown.split("\n", 1)[0].lstrip("# ").strip()
+    captions = _CAPTION_RE.findall(markdown)
+    words = _WORD_RE.findall(markdown) or ["000"]
+    items = captions or [heading]
+    out = []
+    for item in items:
+        row: dict[str, str] = {}
+        for f in field_names:
+            lf = f.lower()
+            if "pric" in lf or "cost" in lf:  # price / pricing / prices
+                row[f] = price
+            elif "model" in lf or "title" in lf or "name" in lf:
+                row[f] = item
+            else:
+                row[f] = "w" + words[_stable_idx(f + item, len(words))]
+        out.append(row)
+    return out
+
+
+def extract_structured(
+    pages: DataFrame,
+    field_names: list[str] | tuple[str, ...],
+    markdown_col: str = "markdown",
+    skip_col: str | None = None,
+) -> DataFrame:
+    """The format_data stage boundary as one Arrow-batched mapInPandas.
+
+    Adds ``extract_error`` / ``listings`` / ``extract_cost`` columns.
+    Rows with a NULL markdown (fetch already failed) and rows where
+    ``skip_col`` is non-null (memoized reuse — the reference marks
+    complete before the LLM, runner.py:539-552) pass through untouched.
+    Per-row failures NEVER fail the task; they are carried as
+    ``extract_error`` (ARC-001 contract).
+    """
+    fields = list(field_names)
+    fields_schema(fields)  # validate
+    out_schema = T.StructType(list(pages.schema.fields) + EXTRACT_RESULT_FIELDS)
+
+    def _extract(iterator):
+        for pdf in iterator:
+            errors: list[str | None] = []
+            listings: list[list[dict] | None] = []
+            costs: list[float] = []
+            mds = pdf[markdown_col]
+            skips = pdf[skip_col] if skip_col is not None else [None] * len(pdf)
+            for md, skip_val in zip(mds, skips):
+                skip = skip_val is not None
+                if md is None or skip:
+                    errors.append(None)
+                    listings.append(None)
+                    costs.append(0.0)
+                    continue
+                try:
+                    found = extract_listings(md, fields)
+                except Exception as e:  # ARC-001: carry, never crash the task
+                    errors.append(f"LLM extraction failed: {e}")
+                    listings.append(None)
+                    costs.append(0.0)
+                    continue
+                if not found:
+                    errors.append("No data was found by the LLM.")
+                    listings.append(None)
+                    costs.append(0.0)
+                    continue
+                errors.append(None)
+                listings.append(found)
+                # deterministic synthetic cost: chars/4 "tokens" at a flat
+                # per-token rate (the reference accumulates real LLM cost,
+                # runner.py:613-616)
+                costs.append(round(len(md) / 4 * 1e-6, 9))
+            pdf = pdf.copy()
+            pdf["extract_error"] = pd.Series(errors, dtype=object)
+            pdf["listings"] = pd.Series(listings, dtype=object)
+            pdf["extract_cost"] = pd.Series(costs, dtype="float64")
+            yield pdf
+
+    return pages.mapInPandas(_extract, out_schema)
+
+
+def listing_rows(extracted: DataFrame, tick: int) -> DataFrame:
+    """Exploded extraction-table rows (EXTRACTION_SCHEMA) for the pages
+    that produced listings."""
+    return (
+        extracted.filter(F.col("listings").isNotNull())
+        .select(
+            "run",
+            "url",
+            F.lit(tick).cast("long").alias("fetched_at"),
+            F.posexplode("listings").alias("listing_idx", "fields"),
+        )
+    )
+
+
+def explode_listings(
+    extraction: DataFrame, field_names: list[str] | tuple[str, ...]
+) -> DataFrame:
+    """Apply the runtime StructType: one output row per listing, one
+    string column per dynamic field (the DataFrame the reference builds
+    with pd.DataFrame(listings), scrape_data.py:196-198)."""
+    schema = fields_schema(list(field_names))
+    cols = [F.element_at(F.col("fields"), f.name).alias(f.name) for f in schema.fields]
+    return extraction.select("run", "url", "listing_idx", *cols)

@@ -84,9 +84,11 @@ def select_batch(
     order = ["last_access", "priority", "queued_seq"]
     # Pool cut (queue_db.py:393): load-bearing only when more candidates
     # exist than the pool admits; the common case (politeness-bounded
-    # batches sized to the host count) skips the top-k entirely.
+    # batches sized to the host count) skips the top-k entirely. The probe
+    # is a LIMIT pool+1 count — early-exits after pool+1 rows instead of
+    # scanning the whole eligible set like the round-1 full count did.
     pool_size = max(batch_size * CANDIDATE_POOL_FACTOR, CANDIDATE_POOL_MIN)
-    if joined.count() > pool_size:
+    if joined.limit(pool_size + 1).count() > pool_size:
         pool = joined.orderBy(*order).limit(pool_size)
     else:
         pool = joined

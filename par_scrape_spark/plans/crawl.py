@@ -52,6 +52,11 @@ from par_scrape_spark.functions.urls import output_folder_col, with_url_identity
 from par_scrape_spark.operators import robots as robots_ops
 from par_scrape_spark.operators import scheduler
 from par_scrape_spark.operators.dedup import FilterStore
+from par_scrape_spark.operators.extraction import (
+    EXTRACTION_SCHEMA,
+    extract_structured,
+    listing_rows,
+)
 from par_scrape_spark.operators.links import child_candidates, fetch_extract
 from par_scrape_spark.operators.payload import fetch_decode_phash
 from par_scrape_spark.schemas import (
@@ -63,6 +68,18 @@ from par_scrape_spark.schemas import (
 from par_scrape_spark.tableio import SnapshotTable
 
 FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
+
+def _bounded_broadcast(df: DataFrame, n_rows_upper: int, limit: int) -> DataFrame:
+    """Broadcast only when a known row-count upper bound says it is safe.
+
+    Per-superstep discovery sets are unbounded at web scale (a link-dense
+    superstep can discover millions of child URLs); forcing F.broadcast
+    on them risks driver/executor OOM at 100x scale. Above the limit the
+    plain (shuffle) join plan is used instead — slower per superstep,
+    never fatal.
+    """
+    return F.broadcast(df) if n_rows_upper <= limit else df
 
 
 def _atomic_json(path: str, obj: dict) -> None:
@@ -104,6 +121,9 @@ class CrawlEngine:
         )
         self.payload = SnapshotTable(spark, warehouse, "payload", PAYLOAD_SCHEMA)
         self.lineage = SnapshotTable(spark, warehouse, "lineage", LINEAGE_SCHEMA)
+        self.extraction = SnapshotTable(
+            spark, warehouse, "extraction", EXTRACTION_SCHEMA
+        )
         self.filters = FilterStore(
             os.path.join(warehouse, "_filters", config.run_name),
             config.bloom_capacity_per_bucket,
@@ -215,7 +235,17 @@ class CrawlEngine:
         self.filters.advance(
             None, 0, frontier_rows.select("host_salt", "url_hash"), cfg.num_buckets
         )
-        self.state["snapshots"] = {"frontier": fsnap, "politeness": psnap}
+        # Pin EVERY table the run will commit to — commits chain from the
+        # pinned parent, never LATEST, so a crash-redo of a superstep can
+        # never resurrect orphan appends from the interrupted attempt
+        # (prior runs' data is whatever LATEST holds at start).
+        self.state["snapshots"] = {
+            "frontier": fsnap,
+            "politeness": psnap,
+            "payload": self.payload.latest_snapshot() or 0,
+            "lineage": self.lineage.latest_snapshot() or 0,
+            "extraction": self.extraction.latest_snapshot() or 0,
+        }
         self.state["filter_step"] = 0
         self._commit_state()
 
@@ -230,7 +260,10 @@ class CrawlEngine:
         )
         stale = stale.withColumn("status", F.lit(PageStatus.QUEUED.value))
         if stale.limit(1).count() > 0:
-            snap = self.frontier.commit_upsert(self._align_frontier(stale))
+            snap = self.frontier.commit_upsert(
+                self._align_frontier(stale),
+                parent=self.state["snapshots"].get("frontier", 0),
+            )
             self.state["snapshots"]["frontier"] = snap
             self._commit_state()
 
@@ -299,6 +332,8 @@ class CrawlEngine:
         # seq uses the global tick (not the per-run step) so queued_seq
         # stays a total order across runs sharing the warehouse
         candidates = child_candidates(fetched, run, tick, tick, cfg.num_buckets)
+        if cfg.max_depth is not None:
+            candidates = candidates.filter(F.col("depth") <= cfg.max_depth)
         candidates = robots_ops.robots_gate(
             candidates, politeness, cfg.respect_robots
         ).cache()
@@ -315,21 +350,37 @@ class CrawlEngine:
         # ONE pinning job: materializing probed also fills the fetched and
         # candidates caches (they are its parents), so every later branch
         # (outcomes, resets, dedup, lineage, payload) reads cached data —
-        # without this, each union branch would re-run the UDF chain
-        probed.count()
+        # without this, each union branch would re-run the UDF chain.
+        # The grouped count doubles as the broadcast-safety measurement:
+        # discovery sets are unbounded per superstep, so every broadcast
+        # below is guarded by these real counts (never forced blind).
+        seen_counts = {
+            r["maybe_seen"]: r["n"]
+            for r in probed.groupBy("maybe_seen").agg(F.count("*").alias("n")).collect()
+        }
+        n_maybe = int(seen_counts.get(True, 0))
+        n_allowed = n_maybe + int(seen_counts.get(False, 0))
+        bcast_lim = cfg.broadcast_row_limit
         phase_t["fetch_probe"] = time.time() - t0 - phase_t["select"]
         definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        hits = frontier_keys.join(
-            F.broadcast(maybe.select("run", "url_hash", "url")),
-            ["run", "url_hash", "url"],
-            "left_semi",
-        )
-        survivors = maybe.join(
-            F.broadcast(hits), ["run", "url_hash", "url"], "left_anti"
-        )
-        # cache fills during the frontier commit job; no separate count
-        new_rows = definite_new.unionByName(survivors).cache()
+        if n_maybe == 0:
+            new_rows = definite_new.cache()
+        else:
+            hits = frontier_keys.join(
+                _bounded_broadcast(
+                    maybe.select("run", "url_hash", "url"), n_maybe, bcast_lim
+                ),
+                ["run", "url_hash", "url"],
+                "left_semi",
+            )
+            survivors = maybe.join(
+                _bounded_broadcast(hits, n_maybe, bcast_lim),
+                ["run", "url_hash", "url"],
+                "left_anti",
+            )
+            # cache fills during the frontier commit job; no separate count
+            new_rows = definite_new.unionByName(survivors).cache()
 
         # J3: error-resets — frontier rows already in error state,
         # rediscovered this superstep, not themselves selected
@@ -338,15 +389,22 @@ class CrawlEngine:
             frontier.filter(
                 (F.col("run") == run) & (F.col("status") == PageStatus.ERROR.value)
             )
-            .join(F.broadcast(allowed.select("run", "url")), ["run", "url"], "left_semi")
+            .join(
+                _bounded_broadcast(
+                    allowed.select("run", "url"), n_allowed, bcast_lim
+                ),
+                ["run", "url"],
+                "left_semi",
+            )
             .join(F.broadcast(selected_keys), ["run", "url"], "left_anti")
             .withColumn("status", F.lit(PageStatus.QUEUED.value))
             .withColumn("error_msg", F.lit(None).cast("string"))
             .withColumn("error_type", F.lit(None).cast("string"))
         )
 
-        # outcome rows for the selected batch
-        is_err = F.col("fetch_error").isNotNull()
+        # fetch-level failure (payload/images hinge on this); page-level
+        # failure additionally includes extraction errors (ARC-001)
+        is_fetch_err = F.col("fetch_error").isNotNull()
 
         # --if-changed memoization (J4, reference runner.py:539-552 /
         # queue_db.py:626-668): completed pages whose content hash matches
@@ -376,10 +434,11 @@ class CrawlEngine:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn", "_h_seq", "_h_run")
             )
+            # join strategy left to the planner: the completed-history side
+            # is unbounded (the whole frontier at 100x scale) — a forced
+            # broadcast here was round-1's OOM hazard
             outcome_src = fetched.join(
-                F.broadcast(
-                    latest.withColumnRenamed("_h_hash", "content_hash")
-                ),
+                latest.withColumnRenamed("_h_hash", "content_hash"),
                 ["url", "content_hash"],
                 "left",
             )
@@ -389,6 +448,41 @@ class CrawlEngine:
                 F.lit(None).cast("map<string,string>"),
             )
 
+        # extraction stage (reference runner.py:556-585): prune feeds ONLY
+        # the extractor (hash + raw artifact stay unpruned, runner.py:531);
+        # memoized pages (prior_file_refs set) skip extraction exactly like
+        # the reference's mark-complete-before-LLM reuse path
+        if cfg.extract_fields:
+            if cfg.prune:
+                from par_scrape_spark.functions.prune import prune_markdown_udf
+
+                ext_in = outcome_src.withColumn(
+                    "_md_llm", prune_markdown_udf()(F.col("markdown"))
+                )
+            else:
+                ext_in = outcome_src.withColumn("_md_llm", F.col("markdown"))
+            outcome_src = extract_structured(
+                ext_in,
+                cfg.extract_fields,
+                markdown_col="_md_llm",
+                skip_col="prior_file_refs",
+            ).drop("_md_llm")
+        else:
+            outcome_src = (
+                outcome_src.withColumn("extract_error", F.lit(None).cast("string"))
+                .withColumn(
+                    "listings", F.lit(None).cast("array<map<string,string>>")
+                )
+                .withColumn("extract_cost", F.lit(0.0))
+            )
+        outcome_src = outcome_src.cache()
+
+        # page-level error: fetch OR extraction failure — a failed
+        # extraction must become an error row, never a silent COMPLETED
+        # (reference tests/test_scrape_data.py:99-126)
+        is_err = is_fetch_err | F.col("extract_error").isNotNull()
+        err_msg = F.coalesce(F.col("fetch_error"), F.col("extract_error"))
+
         outcomes = (
             outcome_src.withColumn(
                 "status",
@@ -397,10 +491,10 @@ class CrawlEngine:
                 ),
             )
             .withColumn(
-                "error_type", F.when(is_err, classify_error_col(F.col("fetch_error")))
+                "error_type", F.when(is_err, classify_error_col(err_msg))
             )
             .withColumn(
-                "error_msg", F.when(is_err, F.substring("fetch_error", 1, 255))
+                "error_msg", F.when(is_err, F.substring(err_msg, 1, 255))
             )
             .withColumn("scraped", F.when(~is_err, F.lit(tick).cast("long")))
             .withColumn(
@@ -429,12 +523,23 @@ class CrawlEngine:
                                 F.element_at(F.col("prior_file_refs"), "md"),
                             ),
                         ).otherwise(F.create_map().cast("map<string,string>")),
+                        # S6: extracted-outputs ref for pages with listings
+                        F.when(
+                            F.col("listings").isNotNull(),
+                            F.create_map(
+                                F.lit("extracted"),
+                                F.concat(
+                                    output_folder_col(F.col("run"), F.col("url")),
+                                    F.lit("/extracted_data"),
+                                ),
+                            ),
+                        ).otherwise(F.create_map().cast("map<string,string>")),
                     ),
                 ),
             )
             .withColumn("last_processed_at", F.lit(tick).cast("long"))
             .withColumn("attempts", F.col("attempts") + 1)
-            .withColumn("cost", F.coalesce(F.col("cost"), F.lit(0.0)))
+            .withColumn("cost", F.coalesce(F.col("extract_cost"), F.lit(0.0)))
         )
 
         new_frontier_rows = (
@@ -458,7 +563,7 @@ class CrawlEngine:
             .distinct()
             .withColumn("_err", F.lit(True))
         )
-        pol_new = (
+        pol_full = (
             politeness.join(F.broadcast(sel_hosts), "host", "left")
             .join(F.broadcast(err_hosts), "host", "left")
             .withColumn(
@@ -476,13 +581,23 @@ class CrawlEngine:
                     ),
                 ).otherwise(F.col("crawl_delay")),
             )
-            .drop("_sel", "_err")
         )
+        # only the touched hosts are committed (batch-bounded upsert): the
+        # host table is 10^7-10^8 rows at the design point and round-1's
+        # full commit_overwrite per superstep was a scale-killer
+        pol_changed = pol_full.filter(
+            F.col("_sel").isNotNull() | F.col("_err").isNotNull()
+        ).drop("_sel", "_err")
+        pol_new = pol_full.drop("_sel", "_err")
 
-        # payload: image rows for completed pages, decoded + phashed in
-        # one fused Arrow stage
-        ok_pages = fetched.filter(~is_err)
+        # payload: image rows for fetch-ok pages (the raw artifact exists
+        # even when extraction later fails — reference saves raw before the
+        # LLM, runner.py:525-531), decoded + phashed in one fused Arrow stage
+        ok_pages = fetched.filter(~is_fetch_err)
         images = fetch_decode_phash(ok_pages, run, cfg.web_seed, tick)
+        ext_rows = (
+            listing_rows(outcome_src, tick) if cfg.extract_fields else None
+        )
 
         # lineage counters per host bucket (A4 / north_rule): one
         # long-format union + a single groupBy — not a chain of joins
@@ -491,23 +606,32 @@ class CrawlEngine:
             "_allowed", "new_urls", "images",
         ]
 
-        def _tagged(df, **exprs):
+        def _tagged(df, cost_expr=None, new_hash=False, **exprs):
             return df.select(
                 "host_salt",
                 *[
                     (exprs.get(c, F.lit(0)).cast("long")).alias(c)
                     for c in counter_cols
                 ],
+                (cost_expr if cost_expr is not None else F.lit(0.0))
+                .cast("double")
+                .alias("cost"),
+                # A8 input: the superstep's new url_hashes (null elsewhere;
+                # approx_count_distinct ignores nulls)
+                (F.col("url_hash") if new_hash else F.lit(None))
+                .cast("long")
+                .alias("_new_hash"),
             )
 
         zero = F.lit(0)
         lineage_long = (
             _tagged(
-                fetched,
+                outcome_src,
                 selected=F.lit(1),
-                fetched_ok=F.when(~is_err, 1).otherwise(zero),
+                fetched_ok=F.when(~is_fetch_err, 1).otherwise(zero),
                 errors=F.when(is_err, 1).otherwise(zero),
-                images=F.when(~is_err, F.col("n_images")).otherwise(zero),
+                images=F.when(~is_fetch_err, F.col("n_images")).otherwise(zero),
+                cost_expr=F.coalesce(F.col("extract_cost"), F.lit(0.0)),
             )
             .unionByName(
                 _tagged(
@@ -516,11 +640,15 @@ class CrawlEngine:
                     _allowed=F.when(F.col("robots_allowed"), 1).otherwise(zero),
                 )
             )
-            .unionByName(_tagged(new_rows, new_urls=F.lit(1)))
+            .unionByName(_tagged(new_rows, new_urls=F.lit(1), new_hash=True))
         )
         lineage = (
             lineage_long.groupBy("host_salt")
-            .agg(*[F.sum(c).alias(c) for c in counter_cols])
+            .agg(
+                *[F.sum(c).alias(c) for c in counter_cols],
+                F.round(F.sum("cost"), 9).alias("cost"),  # A5 rollup
+                F.approx_count_distinct("_new_hash").alias("seen_card_est"),
+            )
             .withColumn("dedup_hits", F.col("_allowed") - F.col("new_urls"))
             .drop("_allowed")
             .withColumn("run", F.lit(run))
@@ -529,16 +657,21 @@ class CrawlEngine:
         )
 
         # ---- commits (multi-table; RUN_STATE.json pins the snapshot set).
+        # Every commit chains from the PINNED parent snapshot, never
+        # LATEST: a crash between side-table commits and _commit_state
+        # leaves orphan commits, and a LATEST-chained redo would resurrect
+        # them (duplicated payload rows, doubled lineage counters).
         # The frontier upsert runs first (it materializes every shared
-        # cache); the remaining four commits are independent tables, so
-        # they run as CONCURRENT Spark jobs — sequential job-scheduling
-        # latency was the superstep's fixed cost.
+        # cache); the remaining commits are independent tables, so they
+        # run as CONCURRENT Spark jobs — sequential job-scheduling latency
+        # was the superstep's fixed cost.
         t1 = time.time()
+        pins = self.state["snapshots"]
         upsert = upsert.cache()
-        fsnap = self.frontier.commit_upsert(upsert)
+        fsnap = self.frontier.commit_upsert(upsert, parent=pins.get("frontier", 0))
         compacted = False
         if self.frontier.delta_count() >= cfg.compact_every:
-            fsnap = self.frontier.compact()
+            fsnap = self.frontier.compact(fsnap)
             compacted = True
         phase_t["frontier_commit"] = time.time() - t1
 
@@ -547,10 +680,23 @@ class CrawlEngine:
         prev_fstep = self.state.get("filter_step")
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            fut_pol = pool.submit(self.politeness.commit_overwrite, pol_new)
-            fut_pay = pool.submit(self.payload.commit_append, images)
-            fut_lin = pool.submit(self.lineage.commit_append, lineage)
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            fut_pol = pool.submit(
+                self.politeness.commit_upsert, pol_changed, pins.get("politeness", 0)
+            )
+            fut_pay = pool.submit(
+                self.payload.commit_append, images, pins.get("payload", 0)
+            )
+            fut_lin = pool.submit(
+                self.lineage.commit_append, lineage, pins.get("lineage", 0)
+            )
+            fut_ext = (
+                pool.submit(
+                    self.extraction.commit_append, ext_rows, pins.get("extraction", 0)
+                )
+                if ext_rows is not None
+                else None
+            )
             fut_filters = pool.submit(
                 self.filters.advance,
                 prev_fstep,
@@ -561,7 +707,11 @@ class CrawlEngine:
             psnap = fut_pol.result()
             paysnap = fut_pay.result()
             lsnap = fut_lin.result()
+            extsnap = fut_ext.result() if fut_ext else pins.get("extraction", 0)
             fut_filters.result()
+        if compacted:
+            # fold the politeness delta chain on the frontier's cadence
+            psnap = self.politeness.compact(psnap)
         phase_t["side_commits"] = time.time() - t1
 
         if cfg.log_selection:
@@ -580,6 +730,7 @@ class CrawlEngine:
                     "politeness": psnap,
                     "payload": paysnap,
                     "lineage": lsnap,
+                    "extraction": extsnap,
                 },
                 "filter_step": step,
             }
@@ -601,9 +752,16 @@ class CrawlEngine:
             # localCheckpoint truncates the plan (no lineage growth across
             # supersteps) and materializes eagerly, so the parents can be
             # unpersisted safely; on failure the disk snapshot is the
-            # recovery path (resume()).
+            # recovery path (resume()). Upsert row count is bounded by
+            # batch + resets + new discoveries — the guard uses that bound.
             survivors_f = frontier.join(
-                F.broadcast(upsert.select("run", "url")), ["run", "url"], "left_anti"
+                _bounded_broadcast(
+                    upsert.select("run", "url"),
+                    n_selected + 2 * n_allowed,
+                    bcast_lim,
+                ),
+                ["run", "url"],
+                "left_anti",
             )
             new_frontier = survivors_f.unionByName(upsert).localCheckpoint(eager=True)
             frontier.unpersist()
@@ -613,7 +771,7 @@ class CrawlEngine:
             politeness.unpersist()
         phase_t["chain"] = time.time() - t1
 
-        for df in (selected, fetched, candidates, probed, new_rows, upsert):
+        for df in (selected, fetched, candidates, probed, new_rows, outcome_src, upsert):
             df.unpersist()
         phase_t["total"] = time.time() - t0
         phase_t["n_selected"] = n_selected

@@ -80,5 +80,10 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("dedup_hits", T.LongType(), False),
         T.StructField("new_urls", T.LongType(), False),
         T.StructField("images", T.LongType(), False),
+        # A5 (queue_db.py:572, runner.py:613-616): summed extraction cost
+        T.StructField("cost", T.DoubleType(), False),
+        # A8: approx_count_distinct over the superstep's new url_hashes —
+        # the frontier-cardinality monitor sized per host bucket
+        T.StructField("seen_card_est", T.LongType(), False),
     ]
 )

@@ -43,6 +43,14 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
+# commit parent sentinel: "chain from whatever LATEST is" (the default,
+# correct for standalone table use). Engines that pin a snapshot set in a
+# run manifest MUST pass their pinned snapshot instead — chaining from
+# LATEST after a crash-redo would resurrect orphan commits from the
+# interrupted attempt (duplicated payload rows, doubled lineage counters).
+USE_LATEST = -1
+
+
 class SnapshotTable:
     """One snapshot-versioned table rooted at ``<root>/<name>``."""
 
@@ -80,7 +88,7 @@ class SnapshotTable:
     def _load_manifest(self, snapshot: int | None) -> dict | None:
         if snapshot is None:
             snapshot = self.latest_snapshot()
-        if snapshot is None:
+        if not snapshot:  # None = no LATEST yet; 0 = pinned-empty
             return None
         with open(self._manifest_path(snapshot)) as f:
             return json.load(f)
@@ -118,23 +126,37 @@ class SnapshotTable:
         writer.parquet(out)
         return rel
 
+    def _parent_manifest(self, parent: int | None) -> dict:
+        """Resolve the manifest a commit chains from.
+
+        ``USE_LATEST`` → current LATEST; ``None``/``0`` → the empty table
+        (a run pinned "nothing committed yet"); ``n`` → manifest-n.
+        """
+        if parent == USE_LATEST:
+            m = self._load_manifest(None)
+        elif not parent:
+            m = None
+        else:
+            m = self._load_manifest(parent)
+        return m or {"base_dirs": [], "delta_dirs": []}
+
     def commit_overwrite(self, df: DataFrame) -> int:
         rel = self._write_dir(df, partitioned=True)
         return self._commit({"base_dirs": [rel], "delta_dirs": []})
 
-    def commit_append(self, df: DataFrame) -> int:
-        prev = self._load_manifest(None) or {"base_dirs": [], "delta_dirs": []}
+    def commit_append(self, df: DataFrame, parent: int | None = USE_LATEST) -> int:
+        prev = self._parent_manifest(parent)
         rel = self._write_dir(df, partitioned=True)
         return self._commit(
             {"base_dirs": prev["base_dirs"] + [rel], "delta_dirs": prev["delta_dirs"]}
         )
 
-    def commit_upsert(self, df: DataFrame) -> int:
+    def commit_upsert(self, df: DataFrame, parent: int | None = USE_LATEST) -> int:
         """Merge-on-read upsert: ``df`` holds full replacement rows, unique
         per key. Readers resolve latest-wins; ``compact()`` folds deltas."""
         if not self.key_cols:
             raise ValueError(f"table {self.name} has no key_cols; use append/overwrite")
-        prev = self._load_manifest(None) or {"base_dirs": [], "delta_dirs": []}
+        prev = self._parent_manifest(parent)
         rel = self._write_dir(df, partitioned=False)
         return self._commit(
             {"base_dirs": prev["base_dirs"], "delta_dirs": prev["delta_dirs"] + [rel]}
@@ -220,10 +242,12 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ maintenance
 
-    def compact(self) -> int:
+    def compact(self, snapshot: int | None = None) -> int:
         """Fold deltas into a rewritten, partitioned base (Iceberg
-        rewrite_data_files analogue). Bounds read-time resolution cost."""
-        df = self.read()
+        rewrite_data_files analogue). Bounds read-time resolution cost.
+        Pass the snapshot to fold so an engine never compacts orphan
+        commits left by an interrupted sibling attempt."""
+        df = self.read(snapshot)
         return self.commit_overwrite(df)
 
     def vacuum(self, keep_snapshots: int = 4) -> None:

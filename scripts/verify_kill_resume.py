@@ -63,7 +63,8 @@ child = subprocess.Popen(
     stderr=subprocess.DEVNULL,
 )
 # wait until the victim has committed at least one superstep, then SIGKILL
-state_path = os.path.join(wh_victim, "kr", "RUN_STATE.json")
+# (the engine writes <warehouse>/RUN_STATE-<run>.json — plans/crawl.py:112)
+state_path = os.path.join(wh_victim, "RUN_STATE-kr.json")
 deadline = time.time() + 240
 killed_at = None
 while time.time() < deadline:

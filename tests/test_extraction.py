@@ -1,0 +1,126 @@
+"""Extraction stage: runtime schema, deterministic extractor, and the
+reference's error-propagation contract (a failed extraction must become
+an error row, never a silent COMPLETED — reference
+tests/test_scrape_data.py:99-274, ARC-001)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from par_scrape_spark.operators.extraction import (
+    explode_listings,
+    extract_listings,
+    extract_structured,
+    fields_schema,
+    listing_rows,
+)
+
+FIELDS = ["Model", "Pricing Input", "Notes"]
+
+MD = (
+    "# host.example/page/1\n\n"
+    "Content of host.example/page/1: w001 w002 w003 price 431\n\n"
+    "![Image 0 on host.example/page/1](/img/0.bin)\n"
+    "![Image 1 on host.example/page/1](/img/1.bin)\n"
+)
+
+
+def test_fields_schema_runtime_struct():
+    schema = fields_schema(FIELDS)
+    assert [f.name for f in schema.fields] == FIELDS
+    assert all(f.dataType.typeName() == "string" for f in schema.fields)
+    with pytest.raises(ValueError):
+        fields_schema([])
+    with pytest.raises(ValueError):
+        fields_schema(["a", "a"])
+
+
+def test_extract_listings_deterministic():
+    a = extract_listings(MD, FIELDS)
+    b = extract_listings(MD, FIELDS)
+    assert a == b
+    assert len(a) == 2  # one listing per caption
+    assert a[0]["Pricing Input"] == "431"
+    assert a[0]["Model"] == "Image 0 on host.example/page/1"
+    assert a[1]["Model"] == "Image 1 on host.example/page/1"
+    assert a[0]["Notes"].startswith("w")
+
+
+def test_extract_listings_no_signal_is_empty():
+    assert extract_listings("# h\n\nnothing here\n", FIELDS) == []
+
+
+def test_extract_structured_error_contract(spark):
+    rows = [
+        ("ok", MD, None),
+        ("nodata", "# h\n\nno price signal\n", None),
+        ("fetchfail", None, None),  # fetch already failed: pass-through
+        ("memo", MD, "prior/ref"),  # memoized reuse: skip extraction
+    ]
+    df = spark.createDataFrame(rows, ["url", "markdown", "prior"])
+    out = {
+        r["url"]: r
+        for r in extract_structured(
+            df, FIELDS, skip_col="prior"
+        ).collect()
+    }
+    assert out["ok"]["extract_error"] is None
+    assert len(out["ok"]["listings"]) == 2
+    assert out["ok"]["extract_cost"] > 0
+    # ARC-001: no-listings is an ERROR, never a silent success
+    assert out["nodata"]["extract_error"] == "No data was found by the LLM."
+    assert out["nodata"]["listings"] is None
+    assert out["fetchfail"]["extract_error"] is None
+    assert out["fetchfail"]["listings"] is None
+    assert out["memo"]["extract_error"] is None
+    assert out["memo"]["listings"] is None
+
+
+def test_listing_rows_and_runtime_explode(spark):
+    df = spark.createDataFrame(
+        [("r1", "http://h/p", MD, None)],
+        "run string, url string, markdown string, prior string",
+    )
+    extracted = extract_structured(df, FIELDS, skip_col="prior")
+    tbl = listing_rows(extracted, tick=7)
+    rows = tbl.orderBy("listing_idx").collect()
+    assert [r["listing_idx"] for r in rows] == [0, 1]
+    assert rows[0]["fetched_at"] == 7
+    wide = explode_listings(tbl, FIELDS).orderBy("listing_idx").collect()
+    assert wide[0]["Pricing Input"] == "431"
+    assert wide[1]["Model"] == "Image 1 on host.example/page/1"
+    assert set(wide[0].asDict()) == {"run", "url", "listing_idx", *FIELDS}
+
+
+def test_crawl_with_extraction_end_to_end(spark, tmp_path):
+    """Extraction wired into the superstep: listings land in the
+    extraction table; extraction failures become error frontier rows."""
+    from par_scrape_spark.config import CrawlConfig, CrawlType, PageStatus
+    from par_scrape_spark.plans.crawl import CrawlEngine
+
+    cfg = CrawlConfig(
+        run_name="ext",
+        seeds=("http://site-00001.example",),  # a reachable flavor at seed 42
+        crawl_type=CrawlType.DOMAIN,
+        crawl_batch_size=4,
+        crawl_max_pages=12,
+        extract_fields=("Title", "Price"),
+        prune=True,
+        web_seed=42,
+    )
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "wh"))
+    state = eng.run()
+    frontier = eng.frontier.read(state["snapshots"]["frontier"])
+    done = frontier.filter(
+        (F.col("run") == "ext") & (F.col("status") == PageStatus.COMPLETED.value)
+    )
+    ext = eng.extraction.read(state["snapshots"]["extraction"])
+    n_done = done.count()
+    assert n_done > 0
+    # every completed page produced listings and carries the extracted ref
+    assert ext.select("url").distinct().count() == n_done
+    refs = done.select(F.element_at("file_refs", "extracted").alias("x")).collect()
+    assert all(r["x"] for r in refs)
+    # completed rows accumulated extraction cost (A5 feed)
+    lin = eng.lineage.read(state["snapshots"]["lineage"])
+    assert lin.agg(F.sum("cost")).first()[0] > 0
+    assert lin.agg(F.sum("seen_card_est")).first()[0] > 0

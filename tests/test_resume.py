@@ -93,6 +93,59 @@ def test_stale_active_requeued(spark):
 
 
 @pytest.mark.slow
+def test_orphan_commits_not_resurrected(spark):
+    """ADVICE r1 (high): a crash BETWEEN side-table commits and the
+    RUN_STATE commit leaves orphan payload/lineage data in LATEST. The
+    redone superstep must chain from the PINNED snapshots, so after
+    resume + one more superstep the row counts equal an uninterrupted
+    twin run's — the orphans stay invisible forever."""
+    wh_a = tempfile.mkdtemp(prefix="orph_a_")
+    wh_b = tempfile.mkdtemp(prefix="orph_b_")
+    try:
+        # uninterrupted twin
+        eng_a = CrawlEngine(spark, _cfg("orph"), wh_a)
+        eng_a.start()
+        eng_a.superstep()
+        eng_a.superstep()
+
+        # victim: superstep 1 commits fine, then a redo-attempt of
+        # superstep 2 crashes AFTER the payload/lineage/frontier commits
+        # but BEFORE _commit_state — simulated by committing stray data
+        # without touching RUN_STATE
+        eng_b = CrawlEngine(spark, _cfg("orph"), wh_b)
+        eng_b.start()
+        eng_b.superstep()
+        pinned = dict(eng_b.state["snapshots"])
+        orphan_payload = eng_b.payload.read(pinned["payload"]).limit(7)
+        eng_b.payload.commit_append(orphan_payload)  # orphan in LATEST
+        orphan_lineage = eng_b.lineage.read(pinned["lineage"]).limit(3)
+        eng_b.lineage.commit_append(orphan_lineage)
+        frontier_orphan = eng_b.frontier.read(pinned["frontier"]).limit(1)
+        eng_b.frontier.commit_upsert(
+            frontier_orphan.withColumn("status", F.lit("error"))
+        )
+
+        # fresh engine resumes from RUN_STATE and redoes superstep 2
+        eng_b2 = CrawlEngine(spark, _cfg("orph"), wh_b)
+        eng_b2.start()  # routes to resume()
+        eng_b2.superstep()
+
+        for table in ("payload", "lineage"):
+            n_a = getattr(eng_a, table).read(
+                eng_a.state["snapshots"][table]
+            ).count()
+            n_b = getattr(eng_b2, table).read(
+                eng_b2.state["snapshots"][table]
+            ).count()
+            assert n_b == n_a, f"{table}: orphan rows resurrected"
+        assert _final_rows(eng_b2, eng_b2.state) == _final_rows(eng_a, eng_a.state)
+        assert eng_b2.state["selected_log"] == eng_a.state["selected_log"]
+    finally:
+        shutil.rmtree(wh_a, ignore_errors=True)
+        shutil.rmtree(wh_b, ignore_errors=True)
+
+
+@pytest.mark.slow
 def test_run_state_is_atomic_root(spark):
     """RUN_STATE.json pins per-table snapshots: a table commit without a
     state commit is invisible after resume (multi-table atomicity)."""
