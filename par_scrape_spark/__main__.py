@@ -1,0 +1,147 @@
+"""CLI entry point: ``python -m par_scrape_spark ...``.
+
+Mirrors the reference's invocation surface (scrape options,
+/root/reference/src/par_scrape/__main__.py:85-273; queue subcommands,
+queue_cli.py:30-119) over the library API. One SparkSession per
+invocation; the warehouse directory is the persistent state.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_scrape(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("scrape", help="run a crawl (reference __main__.py:85-273)")
+    p.add_argument("url", nargs="+", help="seed URL(s)")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--run-name", default="run")
+    p.add_argument(
+        "--crawl-type",
+        default="single_page",
+        choices=["single_page", "single_level", "domain"],
+    )
+    p.add_argument("--crawl-batch-size", type=int, default=1)
+    p.add_argument("--crawl-max-pages", type=int, default=100)
+    p.add_argument("--scrape-retries", type=int, default=3)
+    p.add_argument("--crawl-delay", type=int, default=1)
+    p.add_argument("--max-depth", type=int, default=None)
+    p.add_argument("--fields", nargs="*", default=[], help="extraction fields")
+    p.add_argument("--prune", action="store_true")
+    p.add_argument("--if-changed", action="store_true")
+    p.add_argument("--no-robots", action="store_true")
+    p.add_argument("--no-rate-limits", action="store_true")
+    p.add_argument("--web-seed", type=int, default=42)
+    p.add_argument(
+        "--output-format",
+        nargs="*",
+        default=[],
+        choices=["json", "csv", "md", "excel"],
+        help="export the extraction table after the run",
+    )
+    p.add_argument("--output-dir", default=None)
+
+
+def _add_queue(sub: argparse._SubParsersAction) -> None:
+    q = sub.add_parser("queue", help="queue inspection (queue_cli.py:30-119)")
+    qsub = q.add_subparsers(dest="queue_cmd", required=True)
+    qsub.add_parser("list").add_argument("--warehouse", required=True)
+    for name in ("status", "retry", "reset"):
+        qp = qsub.add_parser(name)
+        qp.add_argument("run")
+        qp.add_argument("--warehouse", required=True)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="par_scrape_spark")
+    ap.add_argument("--master", default="local[*]")
+    ap.add_argument("--shuffle-partitions", type=int, default=32)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _add_scrape(sub)
+    _add_queue(sub)
+    return ap
+
+
+def _engine(spark, args, run_name: str = "cli"):
+    from par_scrape_spark.config import CrawlConfig
+    from par_scrape_spark.plans.crawl import CrawlEngine
+
+    cfg = CrawlConfig(run_name=run_name, seeds=())
+    return CrawlEngine(spark, cfg, args.warehouse)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from par_scrape_spark import api
+    from par_scrape_spark.config import CrawlType
+    from par_scrape_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="par_scrape_spark_cli",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    if args.cmd == "scrape":
+        result = api.scrape(
+            spark,
+            list(args.url),
+            run_name=args.run_name,
+            warehouse=args.warehouse,
+            crawl_type=CrawlType(args.crawl_type),
+            crawl_batch_size=args.crawl_batch_size,
+            crawl_max_pages=args.crawl_max_pages,
+            scrape_retries=args.scrape_retries,
+            respect_rate_limits=not args.no_rate_limits,
+            respect_robots=not args.no_robots,
+            crawl_delay=args.crawl_delay,
+            web_seed=args.web_seed,
+            max_depth=args.max_depth,
+            prune=args.prune,
+            if_changed=args.if_changed,
+            extract_fields=tuple(args.fields),
+        )
+        print(
+            json.dumps(
+                {
+                    "run": result.run_name,
+                    "ok": result.ok,
+                    "supersteps": result.supersteps,
+                    "pages": {p.url: p.status for p in result.pages},
+                }
+            )
+        )
+        if args.output_format:
+            if not args.fields:
+                print("--output-format requires --fields", file=sys.stderr)
+                return 2
+            eng = _engine(spark, args, args.run_name)
+            ext = eng.extraction.read()
+            paths = api.export_extraction(
+                ext,
+                tuple(args.fields),
+                args.output_dir or f"{args.warehouse}/export-{result.run_name}",
+                tuple(args.output_format),
+            )
+            print(json.dumps({"exports": paths}))
+        return 0 if result.ok else 1
+
+    # queue subcommands
+    eng = _engine(spark, args)
+    if args.queue_cmd == "list":
+        for row in api.queue_list(eng).collect():
+            print(json.dumps(row.asDict()))
+    elif args.queue_cmd == "status":
+        for row in api.queue_status(eng, args.run).collect():
+            print(json.dumps(row.asDict()))
+    elif args.queue_cmd == "retry":
+        print(json.dumps({"requeued": api.queue_retry(eng, args.run)}))
+    elif args.queue_cmd == "reset":
+        print(json.dumps({"deleted": api.queue_reset(eng, args.run)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -58,6 +58,10 @@ def scrape(
     respect_robots: bool = True,
     crawl_delay: int = 1,
     web_seed: int = 42,
+    if_changed: bool = False,
+    max_depth: int | None = None,
+    prune: bool = False,
+    extract_fields: tuple[str, ...] = (),
     **extra,
 ) -> ScrapeResult:
     """Run a crawl and materialize its per-page results.
@@ -69,7 +73,7 @@ def scrape(
     cfg = CrawlConfig(
         run_name=run_name,
         seeds=seeds,
-        crawl_type=crawl_type,
+        crawl_type=CrawlType(crawl_type),
         crawl_batch_size=crawl_batch_size,
         crawl_max_pages=crawl_max_pages,
         scrape_retries=scrape_retries,
@@ -77,6 +81,10 @@ def scrape(
         respect_robots=respect_robots,
         crawl_delay=crawl_delay,
         web_seed=web_seed,
+        if_changed=if_changed,
+        max_depth=max_depth,
+        prune=prune,
+        extract_fields=tuple(extract_fields),
         extra=extra,
     )
     engine = CrawlEngine(spark, cfg, warehouse)
@@ -162,6 +170,78 @@ def export_payload(
                 text_safe.write.mode("overwrite").json(path)
             else:
                 text_safe.write.mode("overwrite").option("header", True).csv(path)
+        else:
+            raise ValueError(f"unsupported export format {fmt!r}")
+        paths[fmt] = path
+    return paths
+
+
+def _markdown_table(pdf) -> str:
+    """df.to_markdown analogue without the tabulate dependency
+    (reference scrape_data.py:231)."""
+    cols = [str(c) for c in pdf.columns]
+    cells = [[("" if v is None else str(v)) for v in row] for row in pdf.itertuples(index=False)]
+    widths = [
+        max(len(cols[i]), *(len(r[i]) for r in cells)) if cells else len(cols[i])
+        for i in range(len(cols))
+    ]
+    def _row(vals):
+        return "| " + " | ".join(v.ljust(w) for v, w in zip(vals, widths)) + " |"
+    lines = [_row(cols), "|" + "|".join("-" * (w + 2) for w in widths) + "|"]
+    lines += [_row(r) for r in cells]
+    return "\n".join(lines) + "\n"
+
+
+def export_extraction(
+    extraction: DataFrame,
+    fields: tuple[str, ...] | list[str],
+    out_dir: str,
+    formats: tuple[str, ...] = ("json",),
+) -> dict[str, str]:
+    """S6 for extracted listings (save_formatted_data parity, reference
+    scrape_data.py:148-239): the runtime StructType is applied via
+    explode_listings, spreadsheet formulas are neutralized for csv/excel
+    (CWE-1236, scrape_data.py:139-145 — markdown uses the raw values like
+    the reference), json/csv write distributed, excel/markdown are
+    driver-side toPandas conveniences (SURVEY §1.4).
+
+    QA-010 contract: a requested format that cannot be written raises —
+    callers must surface it as a failure, never a silent skip.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from par_scrape_spark.functions.urls import neutralize_formula_col
+    from par_scrape_spark.operators.extraction import explode_listings
+
+    wide = explode_listings(extraction, list(fields))
+    safe = wide.select(
+        "run",
+        "url",
+        "listing_idx",
+        *[neutralize_formula_col(F.col(f)).alias(f) for f in fields],
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    paths: dict[str, str] = {}
+    for fmt in formats:
+        path = f"{out_dir.rstrip('/')}/extracted_data.{fmt}"
+        if fmt == "json":
+            safe.write.mode("overwrite").json(path)
+        elif fmt == "csv":
+            safe.write.mode("overwrite").option("header", True).csv(path)
+        elif fmt == "md":
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(_markdown_table(wide.toPandas()))
+        elif fmt == "excel":
+            try:
+                import openpyxl  # noqa: F401
+            except ImportError as e:
+                # QA-010: surfaced, not skipped (this container ships no
+                # xlsx writer; the code path is real and tested via mock)
+                raise RuntimeError(f"Failed to save Excel output: {e}") from e
+            path = f"{out_dir.rstrip('/')}/extracted_data.xlsx"
+            safe.toPandas().to_excel(path, index=False)
         else:
             raise ValueError(f"unsupported export format {fmt!r}")
         paths[fmt] = path

@@ -1,0 +1,105 @@
+"""CLI surface + extraction exports (S6) + run-name sanitization (C6)."""
+
+import json
+import os
+
+import pytest
+
+from par_scrape_spark import api
+from par_scrape_spark.config import CrawlConfig
+
+
+def test_run_name_sanitization():
+    """C6 (reference runner.py:193-196): path-hazard chars stripped;
+    fully-invalid names replaced."""
+    cfg = CrawlConfig(run_name="../..//etc passwd!", seeds=())
+    assert cfg.run_name == "etcpasswd"
+    cfg2 = CrawlConfig(run_name="ok-Name_7", seeds=())
+    assert cfg2.run_name == "ok-Name_7"
+    cfg3 = CrawlConfig(run_name="///", seeds=())
+    assert cfg3.run_name and all(c.isalnum() for c in cfg3.run_name)
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("cliwh"))
+    result = api.scrape(
+        spark,
+        "http://site-00001.example",
+        run_name="cli",
+        warehouse=wh,
+        crawl_type="domain",
+        crawl_batch_size=4,
+        crawl_max_pages=8,
+        extract_fields=("Title", "Price"),
+    )
+    return wh, result
+
+
+def test_export_extraction_formats(spark, crawled, tmp_path):
+    from par_scrape_spark.plans.crawl import CrawlEngine
+
+    wh, result = crawled
+    eng = CrawlEngine(spark, CrawlConfig(run_name="cli", seeds=()), wh)
+    ext = eng.extraction.read()
+    assert ext.count() > 0
+    out = str(tmp_path / "exp")
+    paths = api.export_extraction(
+        ext, ("Title", "Price"), out, formats=("json", "csv", "md")
+    )
+    assert set(paths) == {"json", "csv", "md"}
+    md = open(paths["md"], encoding="utf-8").read()
+    assert md.splitlines()[0].startswith("| run")
+    assert "| Title" in md.splitlines()[0]
+    # distributed json round-trips
+    got = spark.read.json(paths["json"])
+    assert got.count() == ext.count()
+    assert "Price" in got.columns
+
+
+def test_export_excel_unavailable_raises(spark, crawled, tmp_path):
+    """QA-010: a requested format that cannot be written must raise (this
+    container has no xlsx writer)."""
+    from par_scrape_spark.plans.crawl import CrawlEngine
+
+    wh, _ = crawled
+    eng = CrawlEngine(spark, CrawlConfig(run_name="cli", seeds=()), wh)
+    with pytest.raises((RuntimeError, ValueError), match="Excel|excel"):
+        api.export_extraction(
+            eng.extraction.read(), ("Title",), str(tmp_path), formats=("excel",)
+        )
+
+
+def test_formula_neutralization_in_export(spark, tmp_path):
+    """CWE-1236 applies to csv exports of extracted values."""
+    from par_scrape_spark.operators.extraction import EXTRACTION_SCHEMA
+
+    rows = [("r", "http://h/x", 1, 0, {"Title": "=SUM(A1)", "Price": "9"})]
+    ext = spark.createDataFrame(rows, EXTRACTION_SCHEMA)
+    paths = api.export_extraction(
+        ext, ("Title", "Price"), str(tmp_path / "e"), formats=("csv",)
+    )
+    csv_dir = paths["csv"]
+    data = "".join(
+        open(os.path.join(csv_dir, f), encoding="utf-8").read()
+        for f in os.listdir(csv_dir)
+        if f.endswith(".csv")
+    )
+    assert "'=SUM(A1)" in data
+
+
+def test_cli_queue_roundtrip(spark, crawled, capsys):
+    from par_scrape_spark.__main__ import main
+
+    wh, _ = crawled
+    rc = main(["queue", "list", "--warehouse", wh])
+    assert rc == 0
+    out = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    runs = {r["run"] for r in out}
+    assert "cli" in runs
+    rc = main(["queue", "status", "cli", "--warehouse", wh])
+    assert rc == 0
+    stat = {r["status"]: r["n"] for r in
+            (json.loads(x) for x in capsys.readouterr().out.splitlines())}
+    assert set(stat) == {"queued", "active", "completed", "error"}
+    assert stat["completed"] > 0
