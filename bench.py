@@ -17,12 +17,18 @@ and is the better proxy for multi-node scaling (each cluster node brings
 its own memory bus). Set SPARK_GRAFT_BENCH_PAIR=8,32 to measure the
 other pair; BENCH/BASELINE.md records the kernel ceiling alongside.
 
+Variance protocol: this host has measured ±40% co-tenant wall-clock
+variance, so a single low/high pair is meaningless. The bench runs
+ROUNDS interleaved (low, high) pairs and reports the MEDIAN throughput
+of each side; every individual run is recorded in BENCH/BASELINE.md.
+
 Prints ONE JSON line and writes BENCH/BASELINE.md.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32, used for the query-timing session),
-SPARK_GRAFT_BENCH_HOSTS (default 60000), SPARK_GRAFT_BENCH_STEPS
-(default 2), SPARK_GRAFT_BENCH_PAIR (default "2,8").
+SPARK_GRAFT_BENCH_HOSTS (default 24000), SPARK_GRAFT_BENCH_STEPS
+(default 2), SPARK_GRAFT_BENCH_PAIR (default "2,8"),
+SPARK_GRAFT_BENCH_ROUNDS (default 3).
 """
 
 from __future__ import annotations
@@ -30,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -40,11 +47,12 @@ from pyspark.sql import SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "60000"))
+N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "24000"))
 N_STEPS = int(os.environ.get("SPARK_GRAFT_BENCH_STEPS", "2"))
 PAIR = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_PAIR", "2,8").split(",")
 )
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
 
 
 def _session(cores: int) -> SparkSession:
@@ -103,13 +111,14 @@ def _drain(spark, run_name: str, n_hosts: int, n_steps: int) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
-def drain_throughput(cores: int) -> dict:
+def drain_throughput(cores: int, rnd: int) -> dict:
     spark = _session(cores)
     spark.range(1000).selectExpr("sum(id)").collect()
     # warmup drain: JIT/codegen/python-worker spin-up, excluded from timing
-    _drain(spark, f"warm{cores}", 300, 1)
-    out = _drain(spark, f"bench{cores}", N_HOSTS, N_STEPS)
+    _drain(spark, f"warm{cores}r{rnd}", 300, 1)
+    out = _drain(spark, f"bench{cores}r{rnd}", N_HOSTS, N_STEPS)
     out["cores"] = cores
+    out["round"] = rnd
     out.pop("timings", None)
     return out
 
@@ -147,10 +156,20 @@ def query_timings() -> dict[str, float]:
 def main() -> None:
     t_start = time.time()
     low_cores, high_cores = PAIR
-    low = drain_throughput(low_cores)
-    high = drain_throughput(high_cores)
+    runs: list[dict] = []
+    for rnd in range(1, ROUNDS + 1):  # interleaved: low,high,low,high,...
+        runs.append(drain_throughput(low_cores, rnd))
+        runs.append(drain_throughput(high_cores, rnd))
+    lows = [r for r in runs if r["cores"] == low_cores]
+    highs = [r for r in runs if r["cores"] == high_cores]
+    med_low = statistics.median(r["urls_per_sec"] for r in lows)
+    med_high = statistics.median(r["urls_per_sec"] for r in highs)
+    low = dict(min(lows, key=lambda r: abs(r["urls_per_sec"] - med_low)))
+    high = dict(min(highs, key=lambda r: abs(r["urls_per_sec"] - med_high)))
+    low["urls_per_sec"] = med_low
+    high["urls_per_sec"] = med_high
     queries = query_timings()
-    speedup = high["urls_per_sec"] / low["urls_per_sec"] if low["urls_per_sec"] else 0
+    speedup = med_high / med_low if med_low else 0
     ratio = high_cores / low_cores
     efficiency = round(speedup / ratio, 3)
     total = round(time.time() - t_start, 2)
@@ -163,10 +182,20 @@ def main() -> None:
             f"Job: drain a {N_HOSTS}-host synthetic frontier for {N_STEPS} "
             "supersteps (fetch + link-extract + robots gate + bloom/cuckoo "
             "dedup + image decode/phash + snapshot commit per superstep). "
-            "A small warmup drain (300 hosts) runs first and is excluded.\n\n"
-            "| cores | pages | images | seconds | URLs/sec |\n|---|---|---|---|---|\n"
-            f"| {low['cores']} | {low['pages']} | {low['images']} | {low['seconds']} | {low['urls_per_sec']} |\n"
-            f"| {high['cores']} | {high['pages']} | {high['images']} | {high['seconds']} | {high['urls_per_sec']} |\n\n"
+            "A small warmup drain (300 hosts) runs per session and is "
+            f"excluded. {ROUNDS} interleaved (low, high) pairs; the "
+            "headline is the MEDIAN per side (this host has measured "
+            "±40% co-tenant variance — single runs are noise).\n\n"
+            "All runs:\n\n"
+            "| round | cores | pages | images | seconds | URLs/sec |\n"
+            "|---|---|---|---|---|---|\n"
+            + "".join(
+                f"| {r['round']} | {r['cores']} | {r['pages']} | {r['images']} "
+                f"| {r['seconds']} | {r['urls_per_sec']} |\n"
+                for r in runs
+            )
+            + f"\nMedian {low_cores}-core: **{med_low} URLs/s**; median "
+            f"{high_cores}-core: **{med_high} URLs/s**.\n\n"
             f"Scaling {low_cores} -> {high_cores} cores: speedup {speedup:.2f}x over a "
             f"{ratio:.0f}x core ratio -> **efficiency {efficiency}** "
             "(north-rule target >= 0.8).\n\n"
@@ -187,16 +216,18 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "frontier_drain_urls_per_sec",
-                "value": total,
+                "value": med_high,
                 "unit": "sec",
                 "queries": queries,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                "throughput": {"low": low, "high": high},
+                "throughput": {"low": low, "high": high, "all_runs": runs},
                 "scaling": {
                     "cores_low": low_cores,
                     "cores_high": high_cores,
-                    "urls_per_sec_low": low["urls_per_sec"],
-                    "urls_per_sec_high": high["urls_per_sec"],
+                    "urls_per_sec_low": med_low,
+                    "urls_per_sec_high": med_high,
+                    "rounds": ROUNDS,
+                    "protocol": "median of interleaved rounds",
                     "efficiency": efficiency,
                 },
             }

@@ -107,6 +107,32 @@ sections.append(
     )
 )
 
+# ---- 3b. seen-set check ABOVE the broadcast guard (scale path)
+from par_scrape_spark.plans.crawl import _bounded_broadcast  # noqa: E402
+
+big_cand = rows.select("run", "url_hash", "url")
+hits_big = frontier.select("run", "url_hash", "url").join(
+    _bounded_broadcast(big_cand, n_rows_upper=10_000_000, limit=500_000),
+    ["run", "url_hash", "url"],
+    "left_semi",
+)
+survivors_big = big_cand.join(
+    _bounded_broadcast(hits_big, 10_000_000, 500_000),
+    ["run", "url_hash", "url"],
+    "left_anti",
+)
+sections.append(
+    (
+        "Seen-set exact check ABOVE the broadcast guard",
+        "The same J2 plan when the measured discovery-set count exceeds "
+        "CrawlConfig.broadcast_row_limit: _bounded_broadcast leaves the "
+        "join strategy to the planner, so there is NO forced "
+        "BroadcastExchange on the unbounded side — a link-dense superstep "
+        "degrades to a shuffle join instead of an executor OOM.",
+        survivors_big,
+    )
+)
+
 # ---- 4. phash banded near-dup join (J8)
 pages = spark.createDataFrame(
     [(f"http://site-{i % 4:05d}.example/page/{i // 4}",) for i in range(16)],
