@@ -515,6 +515,39 @@ def q_d_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_x_extract(spark, sf_dir):
+    """S-extraction (scrape_data.py:41-136) via extraction.extract_structured:
+    runtime dynamic-field schema + deterministic extractor over markdown
+    synthesized from the documents table. The markdown is constructed so
+    the extractor's outputs are SQL-derivable (price figure + caption),
+    and one in three pages carries no price signal — exercising the
+    ARC-001 contract (extract_error, never a silent success) in the same
+    oracle row."""
+    from par_scrape_spark.operators.extraction import extract_structured
+
+    docs = _t(spark, sf_dir, "documents")
+    md = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("# doc\n\nno signal here\n")
+    ).otherwise(
+        F.concat(
+            F.lit("# doc\n\nbody text price "),
+            (F.col("n_chars") % 997).cast("string"),
+            F.lit("\n\n![item-"),
+            F.col("doc_id").cast("string"),
+            F.lit("](u)\n"),
+        )
+    )
+    pages = docs.select("doc_id", md.alias("markdown"))
+    ext = extract_structured(pages, ("Title", "Price"))
+    first = F.element_at(F.col("listings"), 1)
+    return ext.select(
+        "doc_id",
+        F.element_at(first, "Title").alias("Title"),
+        F.element_at(first, "Price").alias("Price"),
+        F.col("extract_error"),
+    )
+
+
 def q_j8_phash_near_dup(spark, sf_dir):
     """J8: banded-Hamming phash near-dup join (11x6-bit bands — recall
     guaranteed to hamming 10) over synthetic payload rows derived from
@@ -570,6 +603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_ngram_jaccard": q_d_ngram_jaccard,
     "t_lang_id": q_t_lang_id,
     "c11_prune_markdown": q_c11_prune_markdown,
+    "x_extract_fields": q_x_extract,
     "j8_phash_near_dup": q_j8_phash_near_dup,
     "f14_output_folder": q_f14_output_folder,
     "s_cosine_topk": q_s_cosine_topk,
@@ -728,6 +762,15 @@ ORACLES: dict[str, str] = {
         "(sqrt(list_dot_product(embedding, embedding)) * "
         "sqrt(list_dot_product(qvec, qvec))), 4) AS cosine "
         "FROM embeddings, q ORDER BY cosine DESC, vec_id LIMIT 10"
+    ),
+    "x_extract_fields": (
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 3 = 0 THEN NULL "
+        "ELSE 'item-' || CAST(doc_id AS VARCHAR) END AS Title, "
+        "CASE WHEN doc_id % 3 = 0 THEN NULL "
+        "ELSE CAST(n_chars % 997 AS VARCHAR) END AS Price, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'No data was found by the LLM.' "
+        "ELSE NULL END AS extract_error FROM documents"
     ),
     "a4_lineage_rollup": (
         "SELECT user_id % 4 AS bucket, count(*) AS selected, "

@@ -105,6 +105,11 @@ class CrawlConfig:
     bloom_capacity_per_bucket: int = 1 << 17
     bloom_fpp: float = 1e-3
     compact_every: int = 8  # fold frontier deltas into base every N supersteps
+    hot_host_spread: int = 1  # D5: >1 spreads a hot host's rows over this
+    # many salt buckets (keyed by url_hash); hot hosts are derived from
+    # frontier row counts at compaction time (lineage-driven re-salting)
+    hot_host_threshold: int = 100_000  # frontier rows per host before it
+    # is flagged hot
     broadcast_row_limit: int = 500_000  # per-superstep discovery sets above
     # this take a shuffle join instead of a forced broadcast (OOM guard)
     log_selection: bool = True  # record per-superstep selection order in

@@ -57,9 +57,30 @@ def url_hash_col(url: Column) -> Column:
     return F.xxhash64(url)
 
 
-def host_salt_col(host: Column, num_buckets: int) -> Column:
-    """D5: host-salted bucket id for frontier partitioning."""
-    return F.pmod(F.xxhash64(host), F.lit(num_buckets)).cast("int")
+def host_salt_col(
+    host: Column,
+    num_buckets: int,
+    url_hash: Column | None = None,
+    hot_hosts: tuple[str, ...] = (),
+    spread: int = 1,
+) -> Column:
+    """D5: host-salted bucket id for frontier partitioning.
+
+    Hot-host re-salting: hosts in ``hot_hosts`` (derived by the engine
+    from frontier row counts at compaction time) spread their rows over
+    ``spread`` buckets keyed by url_hash, so one mega-host cannot pin a
+    whole partition/filter bucket. Exactness is unaffected: the salt only
+    places rows; the seen-set's exact anti-join keys on (run, url_hash,
+    url). A URL seen under an older salt simply misses the bloom prune
+    and falls through to the exact tier.
+    """
+    base = F.xxhash64(host)
+    if hot_hosts and spread > 1 and url_hash is not None:
+        offset = F.when(
+            host.isin(*hot_hosts), F.pmod(url_hash, F.lit(spread))
+        ).otherwise(F.lit(0))
+        base = base + offset.cast("long")
+    return F.pmod(base, F.lit(num_buckets)).cast("int")
 
 
 def neutralize_formula_col(c: Column) -> Column:
@@ -108,12 +129,23 @@ def valid_url_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: policy.is_valid_url(u) if u is not None else False)
 
 
-def with_url_identity(df, url_col: str = "url", num_buckets: int = 8):
+def with_url_identity(
+    df,
+    url_col: str = "url",
+    num_buckets: int = 8,
+    hot_hosts: tuple[str, ...] = (),
+    spread: int = 1,
+):
     """Attach the derived identity columns used everywhere downstream:
     canonical url, url_hash, host, host_salt."""
     df = df.withColumn(url_col, canonicalize_udf(F.col(url_col)))
     return (
         df.withColumn("url_hash", url_hash_col(F.col(url_col)))
         .withColumn("host", F.lower(host_col(F.col(url_col))))
-        .withColumn("host_salt", host_salt_col(F.col("host"), num_buckets))
+        .withColumn(
+            "host_salt",
+            host_salt_col(
+                F.col("host"), num_buckets, F.col("url_hash"), hot_hosts, spread
+            ),
+        )
     )

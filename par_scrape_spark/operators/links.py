@@ -121,7 +121,13 @@ def fetch_extract(
 
 
 def child_candidates(
-    fetched: DataFrame, run: str, superstep: int, tick: int, num_buckets: int
+    fetched: DataFrame,
+    run: str,
+    superstep: int,
+    tick: int,
+    num_buckets: int,
+    hot_hosts: tuple[str, ...] = (),
+    hot_spread: int = 1,
 ) -> DataFrame:
     """E1/E2: explode per-page links into frontier candidate rows.
 
@@ -162,6 +168,11 @@ def child_candidates(
     return (
         candidates.withColumn("url_hash", url_hash_col(F.col("url")))
         .withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
-        .withColumn("host_salt", host_salt_col(F.col("host"), num_buckets))
+        .withColumn(
+            "host_salt",
+            host_salt_col(
+                F.col("host"), num_buckets, F.col("url_hash"), hot_hosts, hot_spread
+            ),
+        )
         .withColumn("queued_at", F.lit(tick).cast("long"))
     )

@@ -24,6 +24,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def dense_rank_parallel_with_count(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    out_col: str = "rank",
+) -> tuple[DataFrame, int]:
+    """dense_rank_parallel that also returns the total row count — free
+    metadata from the per-partition offset collect, saving callers a
+    separate count() job (the scheduler derives the batch size from it:
+    n_selected = min(total, batch))."""
+    return _dense_rank_impl(df, order_cols, out_col)
+
+
 def dense_rank_parallel(
     df: DataFrame,
     order_cols: list[Column | str],
@@ -42,6 +54,14 @@ def dense_rank_parallel(
     host), so the materialization is politeness-state-sized, not
     frontier-sized.
     """
+    return _dense_rank_impl(df, order_cols, out_col)[0]
+
+
+def _dense_rank_impl(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    out_col: str,
+) -> tuple[DataFrame, int]:
     parted = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
@@ -61,12 +81,15 @@ def dense_rank_parallel(
         offsets[pid] = acc
         acc += cnt
     if not offsets:
-        return df.withColumn(out_col, F.lit(0).cast("long")).drop("_pid", "_lrn")
+        return (
+            df.withColumn(out_col, F.lit(0).cast("long")).drop("_pid", "_lrn"),
+            0,
+        )
 
     offset_expr = F.create_map(
         *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
     )
-    return (
+    ranked = (
         local.withColumn(
             out_col,
             (F.element_at(offset_expr, F.col("_pid")) + F.col("_lrn") - 1).cast(
@@ -75,3 +98,4 @@ def dense_rank_parallel(
         )
         .drop("_pid", "_lrn")
     )
+    return ranked, acc

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from par_scrape_spark.config import CANDIDATE_POOL_FACTOR, CANDIDATE_POOL_MIN, PageStatus
-from par_scrape_spark.operators.ranking import dense_rank_parallel
+from par_scrape_spark.operators.ranking import dense_rank_parallel_with_count
 
 
 def eligible_rows(frontier: DataFrame, run: str, retries: int) -> DataFrame:
@@ -65,6 +65,27 @@ def select_batch(
     """Select the next batch. Returns the chosen frontier rows plus
     ``last_access``, ``crawl_delay``, and ``parent_rank`` (0-based batch
     position, the deterministic input to child queued_seq assignment)."""
+    return select_batch_with_count(
+        frontier, politeness, run, tick, batch_size, retries, respect_rate_limits
+    )[0]
+
+
+def select_batch_with_count(
+    frontier: DataFrame,
+    politeness: DataFrame,
+    run: str,
+    tick: int,
+    batch_size: int,
+    retries: int = 3,
+    respect_rate_limits: bool = True,
+    eligible_upper: int | None = None,
+) -> tuple[DataFrame, int | None]:
+    """select_batch plus the exact selected-row count when it is free
+    metadata (min(one-per-host candidates, batch) from the parallel
+    rank's offset collect) — saving the engine one count() job per
+    superstep. ``eligible_upper``: a caller-tracked upper bound on the
+    eligible row count; when it proves the pool cut cannot trigger, the
+    probe job is skipped entirely. Returns (batch_df, n or None)."""
     eligible = eligible_rows(frontier, run, retries)
 
     if not respect_rate_limits:
@@ -73,7 +94,8 @@ def select_batch(
         return (
             pool.withColumn("parent_rank", (F.row_number().over(w) - 1).cast("long"))
             .withColumn("last_access", F.lit(0).cast("long"))
-            .withColumn("crawl_delay", F.lit(1))
+            .withColumn("crawl_delay", F.lit(1)),
+            None,
         )
 
     pol = politeness.select("host", "last_access", "crawl_delay")
@@ -88,7 +110,9 @@ def select_batch(
     # is a LIMIT pool+1 count — early-exits after pool+1 rows instead of
     # scanning the whole eligible set like the round-1 full count did.
     pool_size = max(batch_size * CANDIDATE_POOL_FACTOR, CANDIDATE_POOL_MIN)
-    if joined.limit(pool_size + 1).count() > pool_size:
+    if eligible_upper is not None and eligible_upper <= pool_size:
+        pool = joined  # proven: the cut cannot trigger; skip the probe
+    elif joined.limit(pool_size + 1).count() > pool_size:
         pool = joined.orderBy(*order).limit(pool_size)
     else:
         pool = joined
@@ -108,7 +132,10 @@ def select_batch(
     # Batch rank over one-row-per-host candidates (host-bounded): the
     # parallel dense rank avoids a single-partition window over what is
     # a #hosts-sized set at web scale.
+    ranked, total = dense_rank_parallel_with_count(
+        first_per_host, order, "parent_rank"
+    )
     return (
-        dense_rank_parallel(first_per_host, order, "parent_rank")
-        .filter(F.col("parent_rank") < batch_size)
+        ranked.filter(F.col("parent_rank") < batch_size),
+        min(total, batch_size),
     )

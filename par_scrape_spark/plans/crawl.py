@@ -48,7 +48,11 @@ from par_scrape_spark.config import (
     PageStatus,
 )
 from par_scrape_spark.functions.errors import classify_error_col
-from par_scrape_spark.functions.urls import output_folder_col, with_url_identity
+from par_scrape_spark.functions.urls import (
+    host_salt_col,
+    output_folder_col,
+    with_url_identity,
+)
 from par_scrape_spark.operators import robots as robots_ops
 from par_scrape_spark.operators import scheduler
 from par_scrape_spark.operators.dedup import FilterStore
@@ -247,6 +251,7 @@ class CrawlEngine:
             "extraction": self.extraction.latest_snapshot() or 0,
         }
         self.state["filter_step"] = 0
+        self.state["frontier_upper"] = len(canon)
         self._commit_state()
 
     def resume(self) -> None:
@@ -300,7 +305,7 @@ class CrawlEngine:
         frontier = self._frontier_df
         politeness = self._politeness_df
 
-        selected = scheduler.select_batch(
+        selected, n_known = scheduler.select_batch_with_count(
             frontier,
             politeness,
             run,
@@ -308,12 +313,19 @@ class CrawlEngine:
             cfg.crawl_batch_size,
             cfg.scrape_retries,
             cfg.respect_rate_limits,
+            # engine-tracked upper bound on eligible rows (seeds + every
+            # superstep's allowed candidates): proves the pool cut can't
+            # trigger and skips its probe job
+            eligible_upper=self.state.get("frontier_upper"),
         )
         # the batch leaves the ranking window in ONE partition (global
         # top-k); spread it across host buckets before the parallel
         # fetch/extract stages or they run on a single core
         selected = selected.repartition(F.col("host_salt")).cache()
-        n_selected = selected.count()
+        # n comes free from the scheduler's rank-offset collect (one
+        # fewer Spark job per superstep); the cache fills in the first
+        # downstream job
+        n_selected = selected.count() if n_known is None else n_known
         phase_t["select"] = time.time() - t0
         if n_selected == 0:
             self.state["done"] = True
@@ -331,7 +343,15 @@ class CrawlEngine:
 
         # seq uses the global tick (not the per-run step) so queued_seq
         # stays a total order across runs sharing the warehouse
-        candidates = child_candidates(fetched, run, tick, tick, cfg.num_buckets)
+        candidates = child_candidates(
+            fetched,
+            run,
+            tick,
+            tick,
+            cfg.num_buckets,
+            hot_hosts=tuple(self.state.get("hot_hosts", ())),
+            hot_spread=cfg.hot_host_spread,
+        )
         if cfg.max_depth is not None:
             candidates = candidates.filter(F.col("depth") <= cfg.max_depth)
         candidates = robots_ops.robots_gate(
@@ -669,10 +689,35 @@ class CrawlEngine:
         pins = self.state["snapshots"]
         upsert = upsert.cache()
         fsnap = self.frontier.commit_upsert(upsert, parent=pins.get("frontier", 0))
+        rebuild_filters = False
         compacted = False
         if self.frontier.delta_count() >= cfg.compact_every:
             fsnap = self.frontier.compact(fsnap)
             compacted = True
+            if cfg.hot_host_spread > 1:
+                # D5 lineage-driven re-salting: flag hosts whose frontier
+                # row count crossed the threshold; FUTURE discoveries of
+                # these hosts spread over hot_host_spread salt buckets.
+                # Amortized to compaction cadence (one agg per compact).
+                hot = (
+                    self.frontier.read(fsnap)
+                    .groupBy("host")
+                    .count()
+                    .filter(F.col("count") >= cfg.hot_host_threshold)
+                    .select("host")
+                    .collect()
+                )
+                new_hot = sorted(r["host"] for r in hot)
+                if new_hot != list(self.state.get("hot_hosts", [])):
+                    # salt assignment changed: bloom "never seen" in the
+                    # NEW bucket no longer proves global newness for URLs
+                    # added under the OLD salt, so the sidecars must be
+                    # rebuilt from the full (just-compacted) frontier
+                    # under the new assignment — otherwise a rediscovered
+                    # completed URL would re-queue (seen-set exactness
+                    # violated)
+                    self.state["hot_hosts"] = new_hot
+                    rebuild_filters = True
         phase_t["frontier_commit"] = time.time() - t1
 
         t1 = time.time()
@@ -697,13 +742,31 @@ class CrawlEngine:
                 if ext_rows is not None
                 else None
             )
-            fut_filters = pool.submit(
-                self.filters.advance,
-                prev_fstep,
-                step,
-                new_rows.select("host_salt", "url_hash"),
-                cfg.num_buckets,
-            )
+            if rebuild_filters:
+                # full sidecar rebuild under the NEW salt assignment
+                # (bounded: one pass over the just-compacted frontier,
+                # only on supersteps where the hot-host set changed)
+                full_keys = self.frontier.read(fsnap).select(
+                    host_salt_col(
+                        F.col("host"),
+                        cfg.num_buckets,
+                        F.col("url_hash"),
+                        tuple(self.state["hot_hosts"]),
+                        cfg.hot_host_spread,
+                    ).alias("host_salt"),
+                    "url_hash",
+                )
+                fut_filters = pool.submit(
+                    self.filters.advance, None, step, full_keys, cfg.num_buckets
+                )
+            else:
+                fut_filters = pool.submit(
+                    self.filters.advance,
+                    prev_fstep,
+                    step,
+                    new_rows.select("host_salt", "url_hash"),
+                    cfg.num_buckets,
+                )
             psnap = fut_pol.result()
             paysnap = fut_pay.result()
             lsnap = fut_lin.result()
@@ -725,6 +788,9 @@ class CrawlEngine:
                 "superstep": step,
                 "tick": tick,
                 "pages": self.state["pages"] + n_selected,
+                "frontier_upper": self.state.get("frontier_upper", 0) + n_allowed
+                if self.state.get("frontier_upper") is not None
+                else None,
                 "snapshots": {
                     "frontier": fsnap,
                     "politeness": psnap,
@@ -763,12 +829,28 @@ class CrawlEngine:
                 ["run", "url"],
                 "left_anti",
             )
-            new_frontier = survivors_f.unionByName(upsert).localCheckpoint(eager=True)
+            # bound partition growth: the union adds upsert's partitions to
+            # the chain every superstep (compounding task-scheduling
+            # overhead); coalesce merges without a shuffle
+            n_part = max(self.spark.sparkContext.defaultParallelism, 16)
+            chained = (
+                survivors_f.unionByName(upsert).coalesce(n_part)
+            )
+            with ThreadPoolExecutor(max_workers=2) as cpool:
+                fut_f = cpool.submit(
+                    lambda: chained.localCheckpoint(eager=True)
+                )
+                fut_p = cpool.submit(
+                    lambda: pol_new.coalesce(n_part).localCheckpoint(eager=True)
+                )
+                new_frontier = fut_f.result()
+                new_politeness = fut_p.result()
             frontier.unpersist()
             self._frontier_df = new_frontier
-            self._politeness_df = pol_new.localCheckpoint(eager=True)
+            self._politeness_df = new_politeness
             pol_new.unpersist()
             politeness.unpersist()
+            phase_t["chain_parts"] = new_frontier.rdd.getNumPartitions()
         phase_t["chain"] = time.time() - t1
 
         for df in (selected, fetched, candidates, probed, new_rows, outcome_src, upsert):

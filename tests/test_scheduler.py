@@ -140,3 +140,29 @@ def test_physical_plan_parallel_rank_and_broadcast(spark):
 
 def test_status_values_complete():
     assert {s.value for s in PageStatus} == {"queued", "active", "completed", "error"}
+
+
+def test_select_batch_with_count_and_pool_skip(spark):
+    """The free count equals min(one-per-host candidates, batch); the
+    eligible_upper fast path (skip the pool probe) returns the same batch
+    as the probe path."""
+    from par_scrape_spark.operators.scheduler import select_batch_with_count
+
+    rows = [
+        (f"u{i}", f"h{i % 9}", "queued", 0, 0, i) for i in range(40)
+    ]
+    f = _frontier(spark, rows)
+    p = _politeness(spark, [(f"h{i}", 0, 1) for i in range(9)])
+
+    probe_df, n_probe = select_batch_with_count(f, p, "r", 1, 5)
+    skip_df, n_skip = select_batch_with_count(
+        f, p, "r", 1, 5, eligible_upper=40
+    )
+    assert n_probe == n_skip == 5  # min(9 hosts, batch 5)
+    got_a = sorted((r["url"], r["parent_rank"]) for r in probe_df.collect())
+    got_b = sorted((r["url"], r["parent_rank"]) for r in skip_df.collect())
+    assert got_a == got_b
+
+    # fewer candidates than batch: count is the candidate-host count
+    _, n_small = select_batch_with_count(f, p, "r", 1, 100, eligible_upper=40)
+    assert n_small == 9
