@@ -26,9 +26,9 @@ Prints ONE JSON line and writes BENCH/BASELINE.md.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32, used for the query-timing session),
-SPARK_GRAFT_BENCH_HOSTS (default 40000), SPARK_GRAFT_BENCH_STEPS
-(default 2), SPARK_GRAFT_BENCH_PAIR (default "2,8"),
-SPARK_GRAFT_BENCH_ROUNDS (default 3).
+SPARK_GRAFT_BENCH_HOSTS (default 100000), SPARK_GRAFT_BENCH_STEPS
+(default 1), SPARK_GRAFT_BENCH_PAIR (default "2,8"),
+SPARK_GRAFT_BENCH_ROUNDS (default 2).
 """
 
 from __future__ import annotations
@@ -47,12 +47,12 @@ from pyspark.sql import SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "40000"))
-N_STEPS = int(os.environ.get("SPARK_GRAFT_BENCH_STEPS", "2"))
+N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "100000"))
+N_STEPS = int(os.environ.get("SPARK_GRAFT_BENCH_STEPS", "1"))
 PAIR = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_PAIR", "2,8").split(",")
 )
-ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
 
 
 def _session(cores: int) -> SparkSession:
