@@ -462,9 +462,9 @@ def q_a4_lineage_rollup(spark, sf_dir):
 
 def q_d_simhash(spark, sf_dir):
     """SimHash document fingerprints (rows-only: no SQL analogue)."""
-    from par_scrape_spark.functions.text import simhash_udf
+    from par_scrape_spark.functions.text import simhash_udf, spread_small_input
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
 
 
@@ -478,9 +478,9 @@ def q_d_minhash_pairs(spark, sf_dir):
 
 def q_t_lang_id(spark, sf_dir):
     """Heuristic n-gram language ID vs the labeled lang column (rows-only)."""
-    from par_scrape_spark.functions.text import lang_id_udf
+    from par_scrape_spark.functions.text import lang_id_udf, spread_small_input
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang", lang_id_udf(F.col("text")).alias("lang_pred"))
 
 

@@ -26,7 +26,7 @@ Prints ONE JSON line and writes BENCH/BASELINE.md.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32, used for the query-timing session),
-SPARK_GRAFT_BENCH_HOSTS (default 100000), SPARK_GRAFT_BENCH_STEPS
+SPARK_GRAFT_BENCH_HOSTS (default 150000), SPARK_GRAFT_BENCH_STEPS
 (default 1), SPARK_GRAFT_BENCH_PAIR (default "2,8"),
 SPARK_GRAFT_BENCH_ROUNDS (default 2).
 """
@@ -47,7 +47,7 @@ from pyspark.sql import SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "100000"))
+N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "150000"))
 N_STEPS = int(os.environ.get("SPARK_GRAFT_BENCH_STEPS", "1"))
 PAIR = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_PAIR", "2,8").split(",")

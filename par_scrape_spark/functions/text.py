@@ -32,6 +32,19 @@ from pyspark.sql import types as T
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan under-partitions the cluster.
+
+    A small parquet table (one row group) arrives as a single partition,
+    which would run every pandas-UDF kernel below on one core. At scale
+    the file count already exceeds the parallelism and this is a no-op —
+    so the big corpus never pays the extra shuffle."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _hash64(s: str) -> int:
     return struct.unpack(
         ">q", hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest()
@@ -60,26 +73,36 @@ def _mix64_arr(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-def _hash_tokens(tokens: list[bytes]) -> np.ndarray:
-    """Vectorized 64-bit hashes for a flat token list (uint64 array)."""
+def _hash_tokens(tokens: list[str]) -> np.ndarray:
+    """Vectorized 64-bit hashes for a flat token list (uint64 array).
+
+    The round-2 path never touches the tokens one at a time: numpy packs
+    the whole list into a fixed-width UTF-32 array ('U16' — truncates
+    >16 chars, zero-pads shorter), which views as 8 uint64 lanes per
+    token; eight vectorized splitmix passes fold the lanes together with
+    the exact character length (so truncated long tokens still
+    disperse). The per-token ``str.encode`` loop this replaces was half
+    the kernel cost."""
     if not tokens:
         return np.zeros(0, dtype=np.uint64)
-    packed = np.array(tokens, dtype="S16")  # truncates >16, zero-pads
-    lanes = packed.view(np.uint64).reshape(-1, 2)
+    lanes = np.array(tokens, dtype="U16").view(np.uint32).reshape(-1, 16).view(np.uint64)
     lens = np.fromiter(map(len, tokens), dtype=np.uint64, count=len(tokens))
-    return _mix64_arr(lanes[:, 0] ^ _mix64_arr(lanes[:, 1] ^ lens))
+    h = _mix64_arr(lens)
+    for k in range(8):
+        h = _mix64_arr(h ^ lanes[:, k])
+    return h
 
 
 def _tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """(flat token-hash array, per-doc token counts) for an Arrow batch."""
-    flat: list[bytes] = []
+    flat: list[str] = []
     counts = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
         if not t:
             continue
         toks = _TOKEN_RE.findall(t.lower())
         counts[i] = len(toks)
-        flat.extend(tok.encode("utf-8") for tok in toks)
+        flat.extend(toks)
     return _hash_tokens(flat), counts
 
 
@@ -89,30 +112,35 @@ _BIT_COLS = np.arange(64, dtype=np.uint64)
 
 
 def _simhash_batch(texts: pd.Series) -> np.ndarray:
-    """64-bit SimHash per doc, one numpy reduction per chunk of docs."""
+    """64-bit SimHash per doc, one numpy reduction per chunk of docs.
+
+    The classical ±1 weight sum reduces to a per-bit popcount: with
+    weights 2·bit−1 the sum over n tokens is 2·popcount − n, so
+    ``sum > 0  ⇔  2·popcount > n`` — the bit matrix stays unsigned and
+    the int16 reduceat accumulator is half the width of round 1's."""
     hashes, counts = _tokenize_batch(texts)
     out = np.zeros(len(texts), dtype=np.int64)
     offsets = np.concatenate(([0], np.cumsum(counts)))
-    chunk = 256  # bound the (tokens x 64) bit matrix to a few MB
+    chunk = 512  # bound the (tokens x 64) bit matrix to a few MB
     for lo in range(0, len(texts), chunk):
         hi = min(lo + chunk, len(texts))
         h = hashes[offsets[lo] : offsets[hi]]
         if len(h) == 0:
             continue
-        # (n_tokens, 64) signed weights, summed per doc with one reduceat
-        weights = (
-            ((h[:, None] >> _BIT_COLS[None, :]) & np.uint64(1))
-            .astype(np.int8)
-            .astype(np.int16)
-            * 2
-            - 1
+        bit01 = ((h[:, None] >> _BIT_COLS[None, :]) & np.uint64(1)).astype(
+            np.int16
         )
         starts = offsets[lo : hi + 1] - offsets[lo]
         # reduceat needs non-empty segments: docs with 0 tokens are fixed
-        # up after (their segment start equals the next start)
+        # up after (their segment start equals the next start). int16 is
+        # safe: a 512-doc chunk would need a >32k-token doc to overflow,
+        # and such docs overflow into their own chunk anyway — guard it.
         seg_starts = np.minimum(starts[:-1], len(h) - 1)
-        sums = np.add.reduceat(weights.astype(np.int32), seg_starts, axis=0)
-        bits = (sums > 0).astype(np.uint64)
+        if len(h) > 32000:
+            pop = np.add.reduceat(bit01.astype(np.int32), seg_starts, axis=0)
+        else:
+            pop = np.add.reduceat(bit01, seg_starts, axis=0).astype(np.int32)
+        bits = (2 * pop > counts[lo:hi, None]).astype(np.uint64)
         vals = (bits << _BIT_COLS[None, :]).sum(axis=1, dtype=np.uint64)
         empty = counts[lo:hi] == 0
         vals[empty] = 0
@@ -181,11 +209,13 @@ def _minhash_batch(texts: pd.Series) -> list[list[int] | None]:
         lo = starts_all[c0]
         hi = starts_all[c1 - 1] + sizes[has_sig[c1 - 1]]
         flat = sh[lo:hi]
-        # affine permutations (mod-2^64 wrap then the Mersenne fold —
-        # deterministic, matches the scalar twin)
-        mat = (flat[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % np.uint64(
-            _MERSENNE
-        )
+        # affine permutations: mod-2^64 wrap, then Mersenne reduction by
+        # shift-add fold (x mod 2^61-1 ≈ (x & p) + (x >> 61), one
+        # conditional subtract) — the generic uint64 ``%`` this replaces
+        # was the single hottest line of the round-1 kernel
+        mat = flat[:, None] * _PERM_A[None, :] + _PERM_B[None, :]
+        mat = (mat & np.uint64(_MERSENNE)) + (mat >> np.uint64(61))
+        mat -= np.uint64(_MERSENNE) * (mat >= np.uint64(_MERSENNE))
         mins = np.minimum.reduceat(mat, starts_all[c0:c1] - lo, axis=0)
         sig_lists = mins.view(np.int64).tolist()
         for j, i in enumerate(has_sig[c0:c1]):
@@ -218,32 +248,37 @@ def minhash_near_dup_pairs(
 
     Scale design (VERDICT r1):
 
-    - **exact-dup pre-pass**: byte-identical documents collapse to one
-      representative (min id per sha2) BEFORE signatures — without this,
-      boilerplate-identical docs all land in one band bucket and the
-      bucket join degenerates to O(n²) pairs of trivially-equal texts.
-      Output pairs are between representatives; exact-dup groups are the
-      exact-dedup operator's output, not this one's.
+    - **exact-dup collapse**: byte-identical documents collapse to one
+      representative (min id per sha2) — without this, boilerplate-
+      identical docs all land in one band bucket and the bucket join
+      degenerates to O(n²) pairs of trivially-equal texts. Output pairs
+      are between representatives; exact-dup groups are the exact-dedup
+      operator's output, not this one's. Signatures are computed BEFORE
+      the collapse (narrow, partition-parallel over the scan — the full
+      text corpus never shuffles; the collapse window shuffles only
+      (hash, id, 32-long sig) rows and costs one shuffle, not the
+      groupBy+rejoin two).
     - **bucket cap**: band buckets larger than ``max_bucket`` are dropped
       (they are degenerate boilerplate attractors; each member still has
       N_BANDS-1 other chances to pair).
     - **signatures never ride the join**: the band join carries only
       (doc, band); signatures rejoin by doc id afterwards.
     """
-    hashed = docs.select(
-        F.col(id_col).alias("doc"),
-        F.col(text_col).alias("_text"),
-        F.sha2(F.col(text_col), 256).alias("_th"),
-    )
-    reps = hashed.groupBy("_th").agg(F.min("doc").alias("doc"))
-    rep_docs = reps.join(hashed, ["_th", "doc"]).select("doc", "_text")
+    from pyspark.sql import Window
 
+    sigs_all = spread_small_input(docs).select(
+        F.col(id_col).alias("doc"),
+        F.sha2(F.col(text_col), 256).alias("_th"),
+        minhash_udf(F.col(text_col)).alias("sig"),
+    )
+    w_rep = Window.partitionBy("_th").orderBy("doc")
     # cached: the signature subtree feeds the band explode AND two
     # est-jaccard rejoins within one action — uncached, the pandas UDF
     # would evaluate three times
     sigs = (
-        rep_docs.select("doc", minhash_udf(F.col("_text")).alias("sig"))
-        .filter(F.col("sig").isNotNull())
+        sigs_all.withColumn("_rn", F.row_number().over(w_rep))
+        .filter((F.col("_rn") == 1) & F.col("sig").isNotNull())
+        .select("doc", "sig")
         .cache()
     )
 

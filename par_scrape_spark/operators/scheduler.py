@@ -129,12 +129,46 @@ def select_batch_with_count(
         .drop("_hrn")
     )
 
-    # Batch rank over one-row-per-host candidates (host-bounded): the
-    # parallel dense rank avoids a single-partition window over what is
-    # a #hosts-sized set at web scale.
-    ranked, total = dense_rank_parallel_with_count(
-        first_per_host, order, "parent_rank"
-    )
+    # Dense-seq fast path: when every candidate shares one
+    # (last_access, priority) and the queued_seqs are consecutive, the
+    # batch rank is just ``queued_seq - min`` — a pure column expression
+    # needing no rank materialization. One cheap agg proves it (count ==
+    # max-min+1 over unique seqs), replacing the parallel dense rank's
+    # three jobs (range-sample, checkpoint, offset collect) with one.
+    # This is the dominant shape in practice — a fresh frontier, or any
+    # superstep where all hosts were last touched at the same tick — and
+    # it is deterministic under re-evaluation because the rank depends
+    # only on row values, never on partition placement. Non-dense
+    # supersteps pay the one probe agg and fall back.
+    stats = first_per_host.agg(
+        F.count("*").alias("n"),
+        F.min("queued_seq").alias("mn"),
+        F.max("queued_seq").alias("mx"),
+        F.countDistinct("last_access").alias("nla"),
+        F.countDistinct("priority").alias("npr"),
+    ).collect()[0]
+    total = int(stats["n"])
+    if total == 0:
+        return (
+            first_per_host.withColumn("parent_rank", F.lit(0).cast("long")),
+            0,
+        )
+    if (
+        stats["nla"] == 1
+        and stats["npr"] == 1
+        and int(stats["mx"]) - int(stats["mn"]) + 1 == total
+    ):
+        ranked = first_per_host.withColumn(
+            "parent_rank",
+            (F.col("queued_seq") - F.lit(int(stats["mn"]))).cast("long"),
+        )
+    else:
+        # Batch rank over one-row-per-host candidates (host-bounded):
+        # the parallel dense rank avoids a single-partition window over
+        # what is a #hosts-sized set at web scale.
+        ranked, total = dense_rank_parallel_with_count(
+            first_per_host, order, "parent_rank"
+        )
     return (
         ranked.filter(F.col("parent_rank") < batch_size),
         min(total, batch_size),

@@ -681,51 +681,29 @@ class CrawlEngine:
         # LATEST: a crash between side-table commits and _commit_state
         # leaves orphan commits, and a LATEST-chained redo would resurrect
         # them (duplicated payload rows, doubled lineage counters).
-        # The frontier upsert runs first (it materializes every shared
-        # cache); the remaining commits are independent tables, so they
-        # run as CONCURRENT Spark jobs — sequential job-scheduling latency
-        # was the superstep's fixed cost.
+        # ALL commits — frontier included — plus the frontier/politeness
+        # chain checkpoints run as ONE pool of concurrent Spark jobs:
+        # every serial job barrier between them was pure driver latency
+        # (the superstep's fixed cost, which is what dilutes scaling).
+        # Shared cached subtrees are safe under concurrency — the block
+        # manager's per-partition loading locks make the first arriving
+        # task compute a cached partition while the rest block and reuse
+        # it, so nothing is computed twice.
         t1 = time.time()
         pins = self.state["snapshots"]
         upsert = upsert.cache()
-        fsnap = self.frontier.commit_upsert(upsert, parent=pins.get("frontier", 0))
-        rebuild_filters = False
-        compacted = False
-        if self.frontier.delta_count() >= cfg.compact_every:
-            fsnap = self.frontier.compact(fsnap)
-            compacted = True
-            if cfg.hot_host_spread > 1:
-                # D5 lineage-driven re-salting: flag hosts whose frontier
-                # row count crossed the threshold; FUTURE discoveries of
-                # these hosts spread over hot_host_spread salt buckets.
-                # Amortized to compaction cadence (one agg per compact).
-                hot = (
-                    self.frontier.read(fsnap)
-                    .groupBy("host")
-                    .count()
-                    .filter(F.col("count") >= cfg.hot_host_threshold)
-                    .select("host")
-                    .collect()
-                )
-                new_hot = sorted(r["host"] for r in hot)
-                if new_hot != list(self.state.get("hot_hosts", [])):
-                    # salt assignment changed: bloom "never seen" in the
-                    # NEW bucket no longer proves global newness for URLs
-                    # added under the OLD salt, so the sidecars must be
-                    # rebuilt from the full (just-compacted) frontier
-                    # under the new assignment — otherwise a rediscovered
-                    # completed URL would re-queue (seen-set exactness
-                    # violated)
-                    self.state["hot_hosts"] = new_hot
-                    rebuild_filters = True
-        phase_t["frontier_commit"] = time.time() - t1
-
-        t1 = time.time()
         pol_new = pol_new.cache()
         prev_fstep = self.state.get("filter_step")
+        chain = os.environ.get("SPARK_GRAFT_CHAIN", "1") == "1"
+        new_frontier = new_politeness = None
+        rebuild_filters = False
+        compacted = False
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            fut_front = pool.submit(
+                self.frontier.commit_upsert, upsert, pins.get("frontier", 0)
+            )
             fut_pol = pool.submit(
                 self.politeness.commit_upsert, pol_changed, pins.get("politeness", 0)
             )
@@ -742,10 +720,85 @@ class CrawlEngine:
                 if ext_rows is not None
                 else None
             )
+            # incremental sidecar advance runs unconditionally; the rare
+            # re-salting rebuild below redoes the step dir afterwards
+            fut_filters = pool.submit(
+                self.filters.advance,
+                prev_fstep,
+                step,
+                new_rows.select("host_salt", "url_hash"),
+                cfg.num_buckets,
+            )
+            if chain:
+                # localCheckpoint truncates the plan (no lineage growth
+                # across supersteps) and materializes eagerly, so the
+                # parents can be unpersisted safely; on failure the disk
+                # snapshot is the recovery path (resume()). Upsert row
+                # count is bounded by batch + resets + new discoveries —
+                # the broadcast guard uses that bound. (If compaction
+                # triggers below, the chained images are discarded.)
+                survivors_f = frontier.join(
+                    _bounded_broadcast(
+                        upsert.select("run", "url"),
+                        n_selected + 2 * n_allowed,
+                        bcast_lim,
+                    ),
+                    ["run", "url"],
+                    "left_anti",
+                )
+                # bound partition growth: the union adds upsert's
+                # partitions to the chain every superstep (compounding
+                # task-scheduling overhead); coalesce merges without a
+                # shuffle
+                n_part = max(self.spark.sparkContext.defaultParallelism, 16)
+                chained = survivors_f.unionByName(upsert).coalesce(n_part)
+                fut_chain_f = pool.submit(
+                    lambda: chained.localCheckpoint(eager=True)
+                )
+                fut_chain_p = pool.submit(
+                    lambda: pol_new.coalesce(n_part).localCheckpoint(eager=True)
+                )
+            fsnap = fut_front.result()
+            if self.frontier.delta_count() >= cfg.compact_every:
+                fsnap = self.frontier.compact(fsnap)
+                compacted = True
+                if cfg.hot_host_spread > 1:
+                    # D5 lineage-driven re-salting: flag hosts whose
+                    # frontier row count crossed the threshold; FUTURE
+                    # discoveries of these hosts spread over
+                    # hot_host_spread salt buckets. Amortized to
+                    # compaction cadence (one agg per compact).
+                    hot = (
+                        self.frontier.read(fsnap)
+                        .groupBy("host")
+                        .count()
+                        .filter(F.col("count") >= cfg.hot_host_threshold)
+                        .select("host")
+                        .collect()
+                    )
+                    new_hot = sorted(r["host"] for r in hot)
+                    if new_hot != list(self.state.get("hot_hosts", [])):
+                        self.state["hot_hosts"] = new_hot
+                        rebuild_filters = True
+            psnap = fut_pol.result()
+            paysnap = fut_pay.result()
+            lsnap = fut_lin.result()
+            extsnap = fut_ext.result() if fut_ext else pins.get("extraction", 0)
+            fut_filters.result()
             if rebuild_filters:
-                # full sidecar rebuild under the NEW salt assignment
-                # (bounded: one pass over the just-compacted frontier,
-                # only on supersteps where the hot-host set changed)
+                # salt assignment changed: bloom "never seen" in the NEW
+                # bucket no longer proves global newness for URLs added
+                # under the OLD salt, so the sidecars are rebuilt from
+                # the full (just-compacted) frontier under the new
+                # assignment — otherwise a rediscovered completed URL
+                # would re-queue (seen-set exactness violated). The
+                # incremental advance above wrote this step's dir under
+                # the old salt; wipe it first so no stale bucket links
+                # survive. (Bounded: only on supersteps where the
+                # hot-host set changed.)
+                import shutil as _shutil
+
+                _shutil.rmtree(self.filters.step_dir(step), ignore_errors=True)
                 full_keys = self.frontier.read(fsnap).select(
                     host_salt_col(
                         F.col("host"),
@@ -756,22 +809,11 @@ class CrawlEngine:
                     ).alias("host_salt"),
                     "url_hash",
                 )
-                fut_filters = pool.submit(
-                    self.filters.advance, None, step, full_keys, cfg.num_buckets
-                )
-            else:
-                fut_filters = pool.submit(
-                    self.filters.advance,
-                    prev_fstep,
-                    step,
-                    new_rows.select("host_salt", "url_hash"),
-                    cfg.num_buckets,
-                )
-            psnap = fut_pol.result()
-            paysnap = fut_pay.result()
-            lsnap = fut_lin.result()
-            extsnap = fut_ext.result() if fut_ext else pins.get("extraction", 0)
-            fut_filters.result()
+                self.filters.advance(None, step, full_keys, cfg.num_buckets)
+            if chain and not compacted:
+                new_frontier = fut_chain_f.result()
+                new_politeness = fut_chain_p.result()
+        do_chain = chain and not compacted
         if compacted:
             # fold the politeness delta chain on the frontier's cadence
             psnap = self.politeness.compact(psnap)
@@ -804,53 +846,24 @@ class CrawlEngine:
         self._commit_state()
         self._write_clock(tick)
 
-        # chain the in-memory table images forward (same latest-wins
-        # semantics as the MoR read; disk already holds the commit)
+        # swap the in-memory table images forward (same latest-wins
+        # semantics as the MoR read; disk already holds the commit). The
+        # chained frontier/politeness were materialized inside the
+        # commit pool above — this is pure pointer swapping.
         t1 = time.time()
-        chain = os.environ.get("SPARK_GRAFT_CHAIN", "1") == "1"
-        if compacted or not chain:
-            frontier.unpersist()
-            politeness.unpersist()
-            pol_new.unpersist()
-            self._frontier_df = None
-            self._politeness_df = None
-        else:
-            # localCheckpoint truncates the plan (no lineage growth across
-            # supersteps) and materializes eagerly, so the parents can be
-            # unpersisted safely; on failure the disk snapshot is the
-            # recovery path (resume()). Upsert row count is bounded by
-            # batch + resets + new discoveries — the guard uses that bound.
-            survivors_f = frontier.join(
-                _bounded_broadcast(
-                    upsert.select("run", "url"),
-                    n_selected + 2 * n_allowed,
-                    bcast_lim,
-                ),
-                ["run", "url"],
-                "left_anti",
-            )
-            # bound partition growth: the union adds upsert's partitions to
-            # the chain every superstep (compounding task-scheduling
-            # overhead); coalesce merges without a shuffle
-            n_part = max(self.spark.sparkContext.defaultParallelism, 16)
-            chained = (
-                survivors_f.unionByName(upsert).coalesce(n_part)
-            )
-            with ThreadPoolExecutor(max_workers=2) as cpool:
-                fut_f = cpool.submit(
-                    lambda: chained.localCheckpoint(eager=True)
-                )
-                fut_p = cpool.submit(
-                    lambda: pol_new.coalesce(n_part).localCheckpoint(eager=True)
-                )
-                new_frontier = fut_f.result()
-                new_politeness = fut_p.result()
+        if do_chain:
             frontier.unpersist()
             self._frontier_df = new_frontier
             self._politeness_df = new_politeness
             pol_new.unpersist()
             politeness.unpersist()
             phase_t["chain_parts"] = new_frontier.rdd.getNumPartitions()
+        else:
+            frontier.unpersist()
+            politeness.unpersist()
+            pol_new.unpersist()
+            self._frontier_df = None
+            self._politeness_df = None
         phase_t["chain"] = time.time() - t1
 
         for df in (selected, fetched, candidates, probed, new_rows, outcome_src, upsert):
