@@ -438,6 +438,26 @@ def q_s_cosine_topk(spark, sf_dir):
     )
 
 
+def _ann_query_vec() -> list[float]:
+    """Deterministic synthetic query vector (splitmix stream, seed 99):
+    identical on the Spark and oracle sides at every scale factor, no
+    data-dependent collect."""
+    from par_scrape_spark.operators.ann import hyperplanes
+
+    return [float(v) for v in hyperplanes(64, 1, seed=99)[0]]
+
+
+def q_s_ann_topk(spark, sf_dir):
+    """LSH-bucketed ANN cosine top-k (operators/ann.py): the scale path
+    for similarity search — 8 hyperplane sign bits bucket the corpus,
+    multi-probe Hamming<=1 scans ~9/256 buckets, exact cosine ranking
+    inside. The brute-force q_s_cosine_topk is the recall baseline."""
+    from par_scrape_spark.operators.ann import ann_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_cosine_topk(emb, _ann_query_vec(), k=10)
+
+
 def q_a4_lineage_rollup(spark, sf_dir):
     """A4-shaped lineage rollup: per-bucket conditional counters in one
     groupBy (the engine's per-superstep lineage aggregation shape)."""
@@ -574,6 +594,41 @@ def q_j8_phash_near_dup(spark, sf_dir):
     )
 
 
+def q_m_image_features(spark, sf_dir):
+    """Multimodal pipeline slice (operators/multimodal.py): synthetic
+    payload images derived from the documents table → bilinear resize to
+    16x16 → typed feature struct (channel means, luma stats, histogram
+    entropy). Deterministic end-to-end; oracle is literal. The resize
+    rides inside the same assertion: features are computed on the
+    RESIZED bytes, so a resize regression breaks the oracle."""
+    from par_scrape_spark.operators.multimodal import (
+        image_features_udf,
+        image_resize,
+    )
+    from par_scrape_spark.operators.payload import fetch_images
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pages = docs.select(
+        F.concat(
+            F.lit("http://site-"),
+            F.lpad((F.col("doc_id") % 8).cast("string"), 5, "0"),
+            F.lit(".example/page/"),
+            (F.col("doc_id") / 8).cast("int").cast("string"),
+        ).alias("url")
+    ).distinct()
+    small = image_resize(fetch_images(pages, "q", 42, 1), 16, 16)
+    feat = small.withColumn(
+        "f", image_features_udf()(F.col("bytes"), F.col("fmt"))
+    )
+    return feat.select(
+        "image_id",
+        F.col("f.mean_luma").alias("mean_luma"),
+        F.col("f.std_luma").alias("std_luma"),
+        F.col("f.entropy").alias("entropy"),
+        F.col("f.aspect").alias("aspect"),
+    ).orderBy("image_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_status_counts": q_a1_status_counts,
     "a2_run_status_matrix": q_a2_run_status_matrix,
@@ -607,6 +662,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j8_phash_near_dup": q_j8_phash_near_dup,
     "f14_output_folder": q_f14_output_folder,
     "s_cosine_topk": q_s_cosine_topk,
+    "s_ann_topk": q_s_ann_topk,
+    "m_image_features": q_m_image_features,
     "a4_lineage_rollup": q_a4_lineage_rollup,
 }
 
@@ -779,6 +836,13 @@ ORACLES: dict[str, str] = {
         "round(sum(value), 2) AS total_value FROM events GROUP BY 1"
     ),
 }
+
+# s_ann_topk oracle: generated SQL embedding the hyperplanes as literal
+# lists, so DuckDB reproduces the sign-bucketing + multi-probe + rounded
+# cosine end-to-end on the same deterministic query vector
+from par_scrape_spark.operators.ann import oracle_sql_ann_topk as _ann_oracle
+
+ORACLES["s_ann_topk"] = _ann_oracle(_ann_query_vec(), k=10)
 
 
 # deterministic engine-native queries (simhash/minhash/jaccard/lang-id/

@@ -1,0 +1,173 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Driver-mandated first-class component beyond the reference's surface
+(the reference, paulrobello/par_scrape, has no vector search at all):
+similarity search a training-data pipeline needs at 100 TB. The
+brute-force cosine top-k in ``__spark_entry__.q_s_cosine_topk`` is the
+correctness baseline; this module is the scale path.
+
+Design — random-hyperplane LSH (SimHash-for-vectors), multi-probe:
+
+1. **Index side**: ``n_planes`` fixed hyperplanes (deterministic from a
+   splitmix64 stream, so index and query agree across sessions with no
+   stored state). Each vector's bucket is the ``n_planes``-bit sign
+   pattern of its plane dot products — a pure JVM column expression
+   (``zip_with`` + ``aggregate``), no Python in the hot path. At 100 TB
+   the bucket id is a write-time partition/bucketing key: the probe
+   below then prunes partitions instead of filtering rows.
+2. **Query side**: the query vector's bucket is computed on the driver
+   (numpy); multi-probe expands it to every bucket within Hamming
+   distance ``max_hamming`` (cosine-near vectors differ in few sign
+   bits — the standard multi-probe LSH argument). With 8 planes and
+   Hamming ≤ 1 the probe set is 9/256 buckets ≈ 3.5% of the corpus.
+3. **Search**: exact cosine top-k *inside* the probed buckets — an IN
+   filter Catalyst pushes into the scan, then orderBy+limit, which
+   Spark executes as TakeOrderedAndProject (per-partition top-k, no
+   global sort).
+
+Recall/cost dial: ``n_planes`` up → smaller buckets, lower recall per
+probe; ``max_hamming`` up → more probes, higher recall. The exact
+scan of the probed subset keeps results deterministic and rankable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    return x ^ (x >> np.uint64(31))
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """(n_planes, dim) deterministic pseudo-uniform components in
+    [-1, 1): splitmix64 of the (seed, plane, dim) index grid. Stateless
+    — any session regenerates the identical planes."""
+    salt = np.uint64((seed * 0x517CC1B727220A95) & 0xFFFFFFFFFFFFFFFF)
+    idx = np.arange(n_planes * dim, dtype=np.uint64) + salt
+    u = _splitmix(idx).astype(np.float64) / float(1 << 64)  # [0, 1)
+    return (u * 2.0 - 1.0).reshape(n_planes, dim)
+
+
+def _dot_expr(vec_col: str, plane: np.ndarray):
+    lits = F.array(*[F.lit(float(v)) for v in plane])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), lits, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucket_col(vec_col: str, planes: np.ndarray):
+    """Integer bucket id column: bit i = sign(plane_i · vec). JVM-side
+    whole-stage-codegen expression; at scale this is the write-time
+    bucketing key for the embeddings table."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        bucket = bucket + F.when(_dot_expr(vec_col, plane) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return bucket.cast("int")
+
+
+def query_bucket(qvec: list[float] | np.ndarray, planes: np.ndarray) -> int:
+    q = np.asarray(qvec, dtype=np.float64)
+    return int(sum(1 << i for i, p in enumerate(planes) if float(p @ q) > 0))
+
+
+def probe_buckets(bucket: int, n_planes: int, max_hamming: int = 1) -> list[int]:
+    """All bucket ids within Hamming distance ``max_hamming`` of
+    ``bucket`` (multi-probe LSH)."""
+    out = {bucket}
+    frontier = {bucket}
+    for _ in range(max_hamming):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(n_planes)}
+        out |= frontier
+    return sorted(out)
+
+
+def ann_cosine_topk(
+    embeddings: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    max_hamming: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k: exact ranking within the
+    multi-probe bucket subset. Returns (id, bucket, cosine) ordered by
+    (cosine desc, id) — cosine rounded to 6 places so the ordering and
+    the DuckDB oracle agree to the last ulp."""
+    dim = len(qvec)
+    planes = hyperplanes(dim, n_planes, seed)
+    probes = probe_buckets(query_bucket(qvec, planes), n_planes, max_hamming)
+
+    qlits = F.array(*[F.lit(float(v)) for v in qvec])
+    qnorm = float(np.linalg.norm(np.asarray(qvec, dtype=np.float64)))
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), qlits, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+        )
+    )
+    cos = F.round(dot / (vnorm * F.lit(qnorm)), 6)
+
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_col(vec_col, planes))
+    return (
+        bucketed.filter(F.col("bucket").isin(probes))
+        .select(F.col(id_col), F.col("bucket"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def oracle_sql_ann_topk(
+    qvec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    max_hamming: int = 1,
+    seed: int = 7,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """The equivalent DuckDB SQL — same planes as literal lists, same
+    sign-bucket expression, same multi-probe set, same rounded cosine —
+    so the driver's oracle certifies the bucketing math end-to-end
+    rather than a precomputed literal table."""
+    planes = hyperplanes(dim, n_planes, seed)
+    probes = probe_buckets(query_bucket(qvec, planes), n_planes, max_hamming)
+    planes_sql = [
+        "[" + ", ".join(repr(float(v)) for v in p) + "]" for p in planes
+    ]
+    # e is embedding cast to DOUBLE[] — Spark accumulates the dot in
+    # double, so the oracle must too or the 6-place rounding can differ
+    bucket_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {p}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes_sql)
+    )
+    qlist = "[" + ", ".join(repr(float(v)) for v in qvec) + "]"
+    qnorm = repr(float(np.linalg.norm(np.asarray(qvec, dtype=np.float64))))
+    probe_list = ", ".join(str(b) for b in probes)
+    return (
+        f"WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}), "
+        f"b AS (SELECT vec_id, CAST({bucket_sql} AS INTEGER) AS bucket, "
+        f"ROUND(list_dot_product(e, {qlist}) / "
+        f"(sqrt(list_dot_product(e, e)) * {qnorm}), 6) AS cosine FROM d) "
+        f"SELECT vec_id, bucket, cosine FROM b WHERE bucket IN ({probe_list}) "
+        f"ORDER BY cosine DESC, vec_id LIMIT {k}"
+    )

@@ -1,0 +1,287 @@
+"""Multimodal column operators: image resize/features, video frame
+sampling, audio features.
+
+Driver-mandated first-class components for a 100 TB training-data
+pipeline: media rides as opaque ``binary`` columns with typed metadata;
+all per-item compute is Arrow-batched pandas UDFs / ``mapInPandas``
+(never row-at-a-time Python), and every operator keeps the bytes inside
+ONE Python stage per pass — decode, transform, re-encode without
+crossing the JVM boundary in between.
+
+Reality split (sandbox has no image/AV libraries beyond numpy):
+
+- **Images are fully real**: the engine owns a PNG + quantized-DCT codec
+  (functions/image.py, used by the crawl payload stage C13), so resize
+  and feature extraction below decode real bytes, do real math, and
+  re-encode real bytes.
+- **Video/audio decode is a deterministic fake** (`_fake_*_decode`),
+  clearly marked: real deployments swap in pyav/ffmpeg/soundfile behind
+  the same function boundary. Everything AROUND the decode — schemas,
+  batch shapes, explode semantics, partitioning — is the real Spark
+  plumbing and is tested.
+
+Scale notes: these are narrow per-row transforms — no shuffle, no
+driver involvement; Arrow batch size bounds executor memory
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` applies). 1 video →
+N frame rows uses ``mapInPandas`` so the fan-out never materializes
+per-row Python lists on the JVM side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from par_scrape_spark.functions.image import (
+    decode_image,
+    encode_image,
+)
+
+# ------------------------------------------------------------------ resize
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resample (align-corners=False, the standard
+    convention). Accepts (H, W) or (H, W, C) uint8; returns uint8."""
+    arr = img.astype(np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    top = arr[y0][:, x0] * (1 - wx) + arr[y0][:, x1] * wx
+    bot = arr[y1][:, x0] * (1 - wx) + arr[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if img.ndim == 2 else out
+
+
+def image_resize(
+    images: DataFrame,
+    out_h: int,
+    out_w: int,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Decode → bilinear resize → re-encode, one Arrow pass. Output
+    replaces ``bytes`` and sets w/h; undecodable rows get NULL bytes
+    (poison isolation — one bad blob must not fail the task)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _resize(data: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = np.empty(len(data), dtype=object)
+        for i, (b, f) in enumerate(zip(data, fmt)):
+            try:
+                img = decode_image(bytes(b), f)
+                out[i] = encode_image(resize_bilinear(img, out_h, out_w), f)
+            except Exception:
+                out[i] = None
+        return pd.Series(out)
+
+    return (
+        images.withColumn(bytes_col, _resize(F.col(bytes_col), F.col(fmt_col)))
+        .withColumn("w", F.when(F.col(bytes_col).isNotNull(), F.lit(out_w)))
+        .withColumn("h", F.when(F.col(bytes_col).isNotNull(), F.lit(out_h)))
+    )
+
+
+# ---------------------------------------------------------------- features
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("std_luma", T.DoubleType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("entropy", T.DoubleType()),
+        T.StructField("aspect", T.DoubleType()),
+    ]
+)
+
+
+def image_features_udf():
+    """Typed per-image statistics (the feature-extract stage of a
+    multimodal curation pipeline): channel means, luma mean/std, 64-bin
+    luma histogram entropy, aspect ratio. NULL struct when undecodable.
+    All values rounded to 6 places so downstream oracles are stable."""
+
+    @F.pandas_udf(IMAGE_FEATURE_SCHEMA)
+    def _feat(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b, f in zip(data, fmt):
+            try:
+                img = decode_image(bytes(b), f).astype(np.float64)
+                if img.ndim == 2:
+                    r = g = bl = img
+                else:
+                    r, g, bl = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+                luma = 0.299 * r + 0.587 * g + 0.114 * bl
+                hist, _ = np.histogram(luma, bins=64, range=(0.0, 256.0))
+                p = hist / max(hist.sum(), 1)
+                nz = p[p > 0]
+                ent = float(-(nz * np.log2(nz)).sum())
+                rows.append(
+                    {
+                        "mean_luma": round(float(luma.mean()), 6),
+                        "std_luma": round(float(luma.std()), 6),
+                        "mean_r": round(float(r.mean()), 6),
+                        "mean_g": round(float(g.mean()), 6),
+                        "mean_b": round(float(bl.mean()), 6),
+                        "entropy": round(ent, 6),
+                        "aspect": round(img.shape[1] / img.shape[0], 6),
+                    }
+                )
+            except Exception:
+                rows.append(
+                    {k.name: None for k in IMAGE_FEATURE_SCHEMA.fields}
+                )
+        return pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields])
+
+    return _feat
+
+
+# ------------------------------------------------------------ video frames
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+def _fake_video_decode(data: bytes, every_ms: int, max_frames: int):
+    """DETERMINISTIC FAKE — the sandbox carries no AV demuxer. Real
+    deployments replace this with pyav/ffmpeg keyframe extraction behind
+    the identical signature: (bytes) → iterator of (t_ms, HxWx3 uint8).
+    The fake derives a duration and per-frame pixels from the blob's
+    sha256 so plumbing tests are reproducible end-to-end."""
+    digest = hashlib.sha256(data).digest()
+    dur_ms = 1000 + int.from_bytes(digest[:2], "big") % 9000  # 1-10 s
+    n = min(max_frames, max(1, dur_ms // every_ms))
+    for k in range(n):
+        seed = np.frombuffer(
+            hashlib.sha256(digest + k.to_bytes(4, "big")).digest(), dtype=np.uint8
+        )
+        frame = np.tile(seed.reshape(4, 8), (8, 4))[:32, :32]
+        yield k * every_ms, np.stack([frame, frame[::-1], frame.T], axis=2)
+
+
+def video_frame_sample(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """1 video blob → N sampled frame rows (PNG-encoded), the
+    frame-sample stage of a video curation pipeline. ``mapInPandas`` so
+    the fan-out streams Arrow batches; undecodable blobs yield zero
+    rows rather than failing the task."""
+
+    cols = [f.name for f in FRAME_SCHEMA.fields]
+
+    def _gen(iterator):
+        for pdf in iterator:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    for t_ms, frame in _fake_video_decode(
+                        bytes(blob), every_ms, max_frames
+                    ):
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_no": t_ms // every_ms,
+                                "t_ms": t_ms,
+                                "bytes": encode_image(frame, "png"),
+                                "w": frame.shape[1],
+                                "h": frame.shape[0],
+                                "fmt": "png",
+                            }
+                        )
+                except Exception:
+                    continue
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)
+    ).mapInPandas(_gen, FRAME_SCHEMA)
+
+
+# ----------------------------------------------------------------- audio
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def _fake_audio_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """DETERMINISTIC FAKE — no audio codec in the sandbox. Real
+    deployments replace with soundfile/librosa behind the identical
+    signature: (bytes) → (float32 waveform in [-1, 1], sample_rate).
+    The fake synthesizes a short tone+noise mix keyed by sha256."""
+    digest = hashlib.sha256(data).digest()
+    sr = 16000
+    n = sr * (1 + digest[0] % 3) // 2  # 0.5-1.5 s
+    t = np.arange(n, dtype=np.float64) / sr
+    f0 = 110.0 * (1 + digest[1] % 8)
+    rng_bytes = np.frombuffer(
+        hashlib.sha256(digest + b"wave").digest() * (n // 32 + 1), dtype=np.uint8
+    )[:n]
+    noise = (rng_bytes.astype(np.float64) - 127.5) / 512.0
+    wave = 0.5 * np.sin(2 * np.pi * f0 * t) + noise
+    return np.clip(wave, -1.0, 1.0).astype(np.float32), sr
+
+
+def audio_features_udf():
+    """Waveform statistics (quality-filter features for audio curation):
+    duration, RMS, zero-crossing rate, peak. The real feature math runs
+    over the (fake-)decoded waveform."""
+
+    @F.pandas_udf(AUDIO_FEATURE_SCHEMA)
+    def _feat(data: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in data:
+            try:
+                wave, sr = _fake_audio_decode(bytes(b))
+                w = wave.astype(np.float64)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(w))) > 0))
+                rows.append(
+                    {
+                        "duration_ms": int(len(w) * 1000 / sr),
+                        "rms": round(float(np.sqrt(np.mean(w * w))), 6),
+                        "zero_cross_rate": round(zc, 6),
+                        "peak": round(float(np.abs(w).max()), 6),
+                    }
+                )
+            except Exception:
+                rows.append({k.name: None for k in AUDIO_FEATURE_SCHEMA.fields})
+        return pd.DataFrame(
+            rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+        )
+
+    return _feat

@@ -188,9 +188,11 @@ class CrawlEngine:
         self.state["tick"] = self._read_clock()
         raw = [u for u in cfg.seeds if policy.is_valid_url(u)]
         canon: list[str] = []
+        seen_seeds: set[str] = set()  # first-appearance dedup, O(n)
         for u in raw:
             c = policy.canonicalize_url(u)
-            if c not in canon:
+            if c not in seen_seeds:
+                seen_seeds.add(c)
                 canon.append(c)
         seeds_df = self.spark.createDataFrame(
             [(cfg.run_name, u, i) for i, u in enumerate(canon)],
@@ -700,22 +702,42 @@ class CrawlEngine:
         compacted = False
         from concurrent.futures import ThreadPoolExecutor
 
+        def _timed(tag):
+            # wall-time of each concurrent commit (overlapping — the max
+            # is the pool's critical path, the others show contention)
+            def _wrap(fn, *a):
+                s = time.time()
+                out = fn(*a)
+                phase_t[tag] = round(time.time() - s, 3)
+                return out
+
+            return _wrap
+
         with ThreadPoolExecutor(max_workers=8) as pool:
             fut_front = pool.submit(
-                self.frontier.commit_upsert, upsert, pins.get("frontier", 0)
+                _timed("c_front"),
+                self.frontier.commit_upsert,
+                upsert,
+                pins.get("frontier", 0),
             )
             fut_pol = pool.submit(
-                self.politeness.commit_upsert, pol_changed, pins.get("politeness", 0)
+                _timed("c_pol"),
+                self.politeness.commit_upsert,
+                pol_changed,
+                pins.get("politeness", 0),
             )
             fut_pay = pool.submit(
-                self.payload.commit_append, images, pins.get("payload", 0)
+                _timed("c_pay"), self.payload.commit_append, images, pins.get("payload", 0)
             )
             fut_lin = pool.submit(
-                self.lineage.commit_append, lineage, pins.get("lineage", 0)
+                _timed("c_lin"), self.lineage.commit_append, lineage, pins.get("lineage", 0)
             )
             fut_ext = (
                 pool.submit(
-                    self.extraction.commit_append, ext_rows, pins.get("extraction", 0)
+                    _timed("c_ext"),
+                    self.extraction.commit_append,
+                    ext_rows,
+                    pins.get("extraction", 0),
                 )
                 if ext_rows is not None
                 else None
@@ -723,6 +745,7 @@ class CrawlEngine:
             # incremental sidecar advance runs unconditionally; the rare
             # re-salting rebuild below redoes the step dir afterwards
             fut_filters = pool.submit(
+                _timed("c_filt"),
                 self.filters.advance,
                 prev_fstep,
                 step,
@@ -753,10 +776,12 @@ class CrawlEngine:
                 n_part = max(self.spark.sparkContext.defaultParallelism, 16)
                 chained = survivors_f.unionByName(upsert).coalesce(n_part)
                 fut_chain_f = pool.submit(
-                    lambda: chained.localCheckpoint(eager=True)
+                    _timed("c_chain_f"),
+                    lambda: chained.localCheckpoint(eager=True),
                 )
                 fut_chain_p = pool.submit(
-                    lambda: pol_new.coalesce(n_part).localCheckpoint(eager=True)
+                    _timed("c_chain_p"),
+                    lambda: pol_new.coalesce(n_part).localCheckpoint(eager=True),
                 )
             fsnap = fut_front.result()
             if self.frontier.delta_count() >= cfg.compact_every:

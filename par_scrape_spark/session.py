@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the engine runs its commit fan-out as concurrent jobs; on a
+        # low-core executor a broadcast build can legitimately wait out
+        # the 300s default while sibling jobs hold the cores
+        .config("spark.sql.broadcastTimeout", "3600")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
