@@ -299,24 +299,32 @@ def minhash_near_dup_pairs(
             )
         ).alias("band"),
     ).select("doc", "band.band_no", "band.band_key")
-    if max_bucket:
-        sizes = bands.groupBy("band_no", "band_key").agg(
-            F.count("*").alias("_bn")
-        )
-        bands = bands.join(
-            sizes.filter(F.col("_bn") <= max_bucket), ["band_no", "band_key"]
-        ).drop("_bn")
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    # ONE shuffle from bands to candidate pairs: group each (band, key)
+    # bucket, enforce the size cap on the grouped array, and expand the
+    # in-bucket pairs with JVM higher-order functions — replacing the
+    # round-1 cascade (bucket-size agg + rejoin + self-join) of three
+    # shuffles. Bucket arrays are bounded by max_bucket, so the expanded
+    # pair arrays are bounded at max_bucket^2 rows per bucket.
+    buckets = (
+        bands.groupBy("band_no", "band_key")
+        .agg(F.sort_array(F.collect_list("doc")).alias("_ds"))
+        .filter(F.size("_ds").between(2, max_bucket or (1 << 31)))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ds"), i + 2, F.size(F.col("_ds"))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    )
+    pairs = (
+        buckets.select(pair.alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     pairs = pairs.join(

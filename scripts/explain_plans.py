@@ -29,7 +29,12 @@ def formatted(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
-    return buf.getvalue()
+    # clip literal-heavy lines (e.g. inlined 64-float hyperplane arrays)
+    # — the plan SHAPE is the evidence, not the constants
+    return "\n".join(
+        ln if len(ln) <= 400 else ln[:400] + " …<literals clipped>"
+        for ln in buf.getvalue().splitlines()
+    ) + "\n"
 
 
 sections = []
@@ -148,6 +153,46 @@ sections.append(
         "loop cross join; the exact Hamming popcount runs post-join on "
         "candidates only.",
         pairs,
+    )
+)
+
+# ---- 5. LSH-bucketed ANN cosine top-k
+from par_scrape_spark.operators.ann import ann_cosine_topk, hyperplanes  # noqa: E402
+
+emb = spark.createDataFrame(
+    [(i, [float((i * 7 + j) % 13) / 13 for j in range(64)]) for i in range(200)],
+    ["vec_id", "embedding"],
+)
+qvec = [float(v) for v in hyperplanes(64, 1, seed=99)[0]]
+ann_df = ann_cosine_topk(emb, qvec, k=10)
+sections.append(
+    (
+        "ANN cosine top-k (LSH multi-probe)",
+        "Must show: the bucket IN-filter applied before the cosine "
+        "computation (at scale the bucket is a write-time partition key "
+        "and this becomes partition pruning), and TakeOrderedAndProject "
+        "for the top-k — per-partition heaps, never a global sort.",
+        ann_df,
+    )
+)
+
+# ---- 6. MinHash LSH near-dup candidate pairs
+from par_scrape_spark.functions.text import minhash_near_dup_pairs  # noqa: E402
+
+docs = spark.createDataFrame(
+    [(i, ("tok%d " % (i % 9)) * 30) for i in range(200)], ["doc_id", "text"]
+)
+mh = minhash_near_dup_pairs(docs, text_col="text", id_col="doc_id")
+sections.append(
+    (
+        "MinHash LSH near-dup pairs",
+        "Must show: ONE shuffle from band rows to candidate pairs — a "
+        "single HashAggregate(collect_list) per (band_no, band_key) with "
+        "the in-bucket pair expansion as a JVM higher-order generate, "
+        "NOT a self-join; the size cap bounds each bucket's pair "
+        "fan-out; signatures rejoin by doc id afterwards (they never "
+        "ride the pair expansion).",
+        mh,
     )
 )
 
