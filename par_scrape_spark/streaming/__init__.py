@@ -1,0 +1,5 @@
+from par_scrape_spark.streaming.ingest import (  # noqa: F401
+    stream_ingest_seeds,
+    stream_lang_windowed,
+    stream_quality_scores,
+)

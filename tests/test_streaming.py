@@ -1,0 +1,164 @@
+"""Structured Streaming surfaces (streaming/ingest.py): continuous seed
+ingestion into the frontier, stateless quality scoring, watermarked
+windowed aggregation."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from par_scrape_spark.schemas import FRONTIER_SCHEMA
+from par_scrape_spark.streaming import (
+    stream_ingest_seeds,
+    stream_lang_windowed,
+    stream_quality_scores,
+)
+from par_scrape_spark.tableio import SnapshotTable
+
+URL_SCHEMA = T.StructType([T.StructField("url", T.StringType())])
+
+
+def _write_feed(spark, path, urls):
+    spark.createDataFrame([(u,) for u in urls], URL_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_stream_ingest_insert_or_ignore(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    frontier = SnapshotTable(
+        spark,
+        str(tmp_path / "wh"),
+        "frontier",
+        FRONTIER_SCHEMA,
+        key_cols=["run", "url"],
+        partition_cols=["host_salt"],
+    )
+    # pre-existing COMPLETED row must never be clobbered by rediscovery
+    pre = spark.createDataFrame(
+        [
+            {
+                "run": "s",
+                "url": "http://a.example/page",
+                "url_hash": 1,
+                "host": "a.example",
+                "host_salt": 0,
+                "status": "completed",
+                "attempts": 1,
+                "depth": 0,
+                "priority": 0,
+                "queued_seq": 0,
+                "cost": 0.0,
+            }
+        ],
+        FRONTIER_SCHEMA,
+    )
+    frontier.commit_upsert(pre)
+
+    _write_feed(
+        spark,
+        feed,
+        [
+            "http://a.example/page",        # already completed -> ignored
+            "http://a.example/page/",       # canonical dup of the above
+            "http://b.example/x",           # new
+            "http://b.example/x",           # in-batch dup
+            "not a url",                    # invalid -> dropped
+            "http://c.example/y?q=1",       # new
+        ],
+    )
+    stream = spark.readStream.schema(URL_SCHEMA).parquet(feed)
+    q = stream_ingest_seeds(
+        stream,
+        frontier,
+        run="s",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+
+    rows = {r["url"]: r for r in frontier.read().collect()}
+    assert rows["http://a.example/page"]["status"] == "completed"  # untouched
+    new_urls = {u for u in rows if u != "http://a.example/page"}
+    assert new_urls == {"http://b.example/x", "http://c.example/y?q=1"}
+    for u in new_urls:
+        assert rows[u]["status"] == "queued"
+        assert rows[u]["url_hash"] is not None
+        assert rows[u]["host_salt"] is not None
+
+    # second feed chunk: replay-safe append, dedup against live table
+    _write_feed(spark, feed, ["http://b.example/x", "http://d.example/z"])
+    q2 = stream_ingest_seeds(
+        stream,
+        frontier,
+        run="s",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q2.awaitTermination(120)
+    rows2 = {r["url"]: r for r in frontier.read().collect()}
+    assert "http://d.example/z" in rows2
+    assert len(rows2) == len(rows) + 1  # b.example/x not duplicated
+
+
+def test_stream_quality_scores(spark, tmp_path):
+    feed = str(tmp_path / "docs")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    spark.createDataFrame(
+        [(1, "a clean readable sentence with words"), (2, "!!!,,,;;;")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(feed)
+    out_dir = str(tmp_path / "out")
+    stream = spark.readStream.schema(schema).parquet(feed)
+    q = (
+        stream_quality_scores(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["quality"] for r in spark.read.parquet(out_dir).collect()}
+    assert got[1] > got[2]  # clean text outscores punctuation soup
+    # streaming result == batch result for the same expressions
+    batch = {
+        r["doc_id"]: r["quality"]
+        for r in stream_quality_scores(spark.read.parquet(feed)).collect()
+    }
+    assert got == batch
+
+
+def test_stream_lang_windowed(spark, tmp_path):
+    feed = str(tmp_path / "langs")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (t0 + datetime.timedelta(seconds=s), lang)
+        for s, lang in [(1, "en"), (2, "en"), (3, "de"), (12, "en")]
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(feed)
+    out = (
+        stream_lang_windowed(spark.readStream.schema(schema).parquet(feed))
+        .writeStream.format("memory")
+        .queryName("langwin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    got = {
+        (r["win_start"].second, r["lang"]): r["n"]
+        for r in spark.sql("select * from langwin").collect()
+    }
+    assert got[(0, "en")] == 2
+    assert got[(0, "de")] == 1
+    assert got[(10, "en")] == 1
