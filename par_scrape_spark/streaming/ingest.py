@@ -142,7 +142,16 @@ def stream_lang_windowed(
 ) -> DataFrame:
     """Watermarked windowed language distribution over an ingest feed:
     late rows beyond ``watermark`` are dropped and window state is
-    expired — bounded state at any feed rate."""
+    expired — bounded state at any feed rate.
+
+    Consumption contract: sink in ``update`` mode for live monitoring
+    (windows emitted as counts change) — this is the mode bounded
+    ``availableNow`` drains must use, since the watermark
+    (max event time − ``watermark``) only advances *between*
+    micro-batches and so never closes a window within a single bounded
+    batch. Use ``append`` mode only for a continuous feed where
+    downstream needs each window exactly once, finalized.
+    """
     return (
         doc_stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_len), F.col(lang_col))

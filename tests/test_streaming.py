@@ -146,11 +146,16 @@ def test_stream_lang_windowed(spark, tmp_path):
         for s, lang in [(1, "en"), (2, "en"), (3, "de"), (12, "en")]
     ]
     spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(feed)
+    # update mode: windows are emitted as they change, without waiting for
+    # the watermark to close them — the right consumption mode for a
+    # monitoring feed drained with availableNow (append mode would emit
+    # nothing here: the watermark, max event time - 30s, never passes any
+    # window end within a single bounded batch).
     out = (
         stream_lang_windowed(spark.readStream.schema(schema).parquet(feed))
         .writeStream.format("memory")
         .queryName("langwin")
-        .outputMode("append")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
