@@ -12,9 +12,14 @@ Design — random-hyperplane LSH (SimHash-for-vectors), multi-probe:
    splitmix64 stream, so index and query agree across sessions with no
    stored state). Each vector's bucket is the ``n_planes``-bit sign
    pattern of its plane dot products — a pure JVM column expression
-   (``zip_with`` + ``aggregate``), no Python in the hot path. At 100 TB
-   the bucket id is a write-time partition/bucketing key: the probe
-   below then prunes partitions instead of filtering rows.
+   (``zip_with`` + ``aggregate``), no Python in the hot path.
+   ``build_ann_index`` makes the bucket *physical layout*: the
+   embeddings table is rewritten once, partitioned by ``bucket``
+   (one shuffle by bucket, then one file per bucket directory — the
+   repartition prevents the tasks × buckets tiny-file blowup). At
+   100 TB each bucket directory holds ~corpus/2^n_planes vectors and
+   more planes keep directories bounded; probes then prune *files*,
+   not rows — the scan never touches the other 96.5% of the corpus.
 2. **Query side**: the query vector's bucket is computed on the driver
    (numpy); multi-probe expands it to every bucket within Hamming
    distance ``max_hamming`` (cosine-near vectors differ in few sign
@@ -131,6 +136,114 @@ def ann_cosine_topk(
     return (
         bucketed.filter(F.col("bucket").isin(probes))
         .select(F.col(id_col), F.col("bucket"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 7,
+) -> str:
+    """Write-time LSH index: rewrite the embeddings table partitioned by
+    the LSH ``bucket`` so query-time probes prune files instead of
+    scanning rows. One job: compute the bucket (JVM codegen expression),
+    shuffle once on it (so each bucket directory gets exactly one file
+    — without the repartition every task writes a sliver into every
+    bucket and file listing dominates later scans), write
+    ``partitionBy("bucket")``.
+
+    This is ingest-time work, amortized over every subsequent query —
+    the 100 TB equivalent of building any secondary index. The planes
+    are deterministic from (n_planes, dim, seed), so any session can
+    re-derive the query-side bucketing with no stored state beyond the
+    directory layout itself.
+    """
+    dim = int(
+        embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    )
+    planes = hyperplanes(dim, n_planes, seed)
+    (
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            lsh_bucket_col(vec_col, planes).alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    return path
+
+
+def ann_cosine_topk_indexed(
+    spark,
+    index_path: str,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    max_hamming: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k over a ``build_ann_index`` table: the multi-probe
+    ``bucket IN (...)`` filter lands on the *partition column*, so
+    Catalyst prunes the non-probed bucket directories at planning time
+    (PartitionFilters in the scan node — see PLANS.md) and the exact
+    cosine runs only over the ~``(1+n_planes)/2^n_planes`` of the corpus
+    the probes name. Identical results to ``ann_cosine_topk`` (same
+    planes, same probes, same rounded cosine), minus the full scan and
+    the per-row query-time bucket computation.
+
+    Listing note: the probe set is known *before* planning, so only the
+    probed ``bucket=<b>`` directories are handed to the reader (with
+    ``basePath`` so the partition column is still inferred) — the
+    path-glob discovery job over all 2^n_planes directories never runs.
+    This is what a metastore-backed catalog table gives for free (list
+    only matching partitions); the directory-existence probe below is
+    the local-FS form of that metadata lookup — on an object store the
+    same role is played by the catalog/manifest listing, never a
+    per-query full-prefix scan."""
+    dim = len(qvec)
+    planes = hyperplanes(dim, n_planes, seed)
+    probes = probe_buckets(query_bucket(qvec, planes), n_planes, max_hamming)
+    import os
+
+    probe_dirs = [
+        d
+        for d in (os.path.join(index_path, f"bucket={b}") for b in probes)
+        if os.path.isdir(d)
+    ]
+
+    qlits = F.array(*[F.lit(float(v)) for v in qvec])
+    qnorm = float(np.linalg.norm(np.asarray(qvec, dtype=np.float64)))
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), qlits, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+        )
+    )
+    cos = F.round(dot / (vnorm * F.lit(qnorm)), 6)
+
+    if not probe_dirs:  # every probed bucket empty -> empty result
+        indexed = spark.read.parquet(index_path)
+    else:
+        indexed = spark.read.option("basePath", index_path).parquet(*probe_dirs)
+    return (
+        indexed.filter(F.col("bucket").isin(probes))
+        .select(
+            F.col(id_col), F.col("bucket").cast("int"), cos.alias("cosine")
+        )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )

@@ -156,22 +156,30 @@ sections.append(
     )
 )
 
-# ---- 5. LSH-bucketed ANN cosine top-k
-from par_scrape_spark.operators.ann import ann_cosine_topk, hyperplanes  # noqa: E402
+# ---- 5. LSH-bucketed ANN cosine top-k over the WRITE-TIME index
+from par_scrape_spark.operators.ann import (  # noqa: E402
+    ann_cosine_topk_indexed,
+    build_ann_index,
+    hyperplanes,
+)
 
 emb = spark.createDataFrame(
     [(i, [float((i * 7 + j) % 13) / 13 for j in range(64)]) for i in range(200)],
     ["vec_id", "embedding"],
 )
 qvec = [float(v) for v in hyperplanes(64, 1, seed=99)[0]]
-ann_df = ann_cosine_topk(emb, qvec, k=10)
+idx_dir = os.path.join(tempfile.mkdtemp(prefix="plans_ann_"), "idx")
+build_ann_index(emb, idx_dir)
+ann_df = ann_cosine_topk_indexed(spark, idx_dir, qvec, k=10)
 sections.append(
     (
-        "ANN cosine top-k (LSH multi-probe)",
-        "Must show: the bucket IN-filter applied before the cosine "
-        "computation (at scale the bucket is a write-time partition key "
-        "and this becomes partition pruning), and TakeOrderedAndProject "
-        "for the top-k — per-partition heaps, never a global sort.",
+        "ANN cosine top-k (write-time LSH index, multi-probe)",
+        "Must show: PartitionFilters with `bucket IN (...)` on the scan "
+        "— the multi-probe filter lands on the index's partition column, "
+        "so the non-probed ~96.5% of bucket directories are never read "
+        "(I/O pruning, not just compute pruning); and "
+        "TakeOrderedAndProject for the top-k — per-partition heaps, "
+        "never a global sort.",
         ann_df,
     )
 )

@@ -1,6 +1,8 @@
 """LSH-bucketed ANN (operators/ann.py): bucketing math, multi-probe
 recall on planted clusters, and Spark/numpy agreement."""
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import types as T
@@ -126,3 +128,38 @@ def test_oracle_sql_agrees_with_spark(spark, tmp_path):
     con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{pq}/*.parquet'")
     want = con.sql(ann.oracle_sql_ann_topk(q, k=10)).fetchall()
     assert got == [(int(a), int(b), float(c)) for a, b, c in want]
+
+
+def test_indexed_matches_unindexed(spark, tmp_path):
+    """build_ann_index + ann_cosine_topk_indexed return bit-identical
+    results to the full-scan path, with one file per bucket directory
+    (the repartition-before-partitionBy contract) and the probe filter
+    landing on PartitionFilters (I/O pruning, not a row filter)."""
+    import glob
+
+    vecs, _ = _clustered(n_clusters=4, per=25)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    idx = str(tmp_path / "annidx")
+    ann.build_ann_index(df, idx)
+
+    bucket_dirs = glob.glob(os.path.join(idx, "bucket=*"))
+    assert bucket_dirs, "partitioned layout missing"
+    for d in bucket_dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+
+    q = [float(x) for x in vecs[3]]
+    plain = ann.ann_cosine_topk(df, q, k=10)
+    indexed = ann.ann_cosine_topk_indexed(spark, idx, q, k=10)
+    key = lambda r: (r["vec_id"], r["bucket"], r["cosine"])  # noqa: E731
+    assert [key(r) for r in plain.collect()] == [key(r) for r in indexed.collect()]
+    assert [f.name for f in indexed.schema.fields] == ["vec_id", "bucket", "cosine"]
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
