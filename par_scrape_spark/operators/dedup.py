@@ -392,12 +392,17 @@ def dedup_payload_exact(payload: DataFrame) -> DataFrame:
     )
 
 
-def near_dup_pairs(payload: DataFrame, bands: int = 11, max_hamming: int = 10) -> DataFrame:
-    """J8: banded-Hamming candidate self-join over phash.
+def near_dup_pairs(
+    payload: DataFrame,
+    bands: int = 11,
+    max_hamming: int = 10,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """J8: banded-Hamming near-dup candidate pairs over phash.
 
     Split each 64-bit phash into ``bands`` contiguous bit bands; two
     images within Hamming distance ``bands-1`` must share at least one
-    exact band (pigeonhole), so the band-bucket equi-join finds all close
+    exact band (pigeonhole), so band-bucket grouping finds all close
     pairs without an O(n²) cross join. Pairs are then verified with an
     exact popcount on the XOR.
 
@@ -405,7 +410,29 @@ def near_dup_pairs(payload: DataFrame, bands: int = 11, max_hamming: int = 10) -
     the pigeonhole argument only covers distance ``bands-1`` and pairs
     beyond it can share no band (round-1 recall bug: 4x16-bit bands
     filtered at hamming<=10 silently missed distances 4-10).
+
+    Scale design (mirrors the text twin, functions/text.py
+    minhash_near_dup_pairs — VERDICT r2 #3):
+
+    - **exact-dup pre-collapse**: byte-identical phashes collapse to one
+      representative (first image_id per phash) BEFORE banding — without
+      this, a corpus with many identical images puts the whole group in
+      every one of its band buckets and pair expansion degenerates to
+      O(n²) trivially-equal pairs. Output pairs are between
+      representatives; exact-phash groups are ``dedup_payload_exact``'s
+      output, not this operator's.
+    - **bucket cap**: band buckets larger than ``max_bucket`` are
+      dropped (degenerate attractors — e.g. a band that is constant
+      across a template-generated corpus); each member still has
+      ``bands-1`` other chances to pair.
+    - **ONE shuffle bands → pairs**: group each (band_no, band_val)
+      bucket with collect_list of (image_id, phash) structs, cap the
+      grouped array, and expand in-bucket pairs with JVM higher-order
+      transforms — no self-join, and the pair fan-out is bounded at
+      max_bucket² rows per bucket.
     """
+    from pyspark.sql import Window
+
     if bands > 64:
         raise ValueError(f"bands={bands} exceeds the 64 phash bits")
     width = (64 + bands - 1) // bands  # last band may be narrower
@@ -421,7 +448,14 @@ def near_dup_pairs(payload: DataFrame, bands: int = 11, max_hamming: int = 10) -
             f"effective bands={len(spans)} <= max_hamming={max_hamming}: "
             f"pigeonhole recall guarantee broken; need bands > max_hamming"
         )
-    banded = payload.select("image_id", "phash").withColumn(
+    w_rep = Window.partitionBy("phash").orderBy("image_id")
+    reps = (
+        payload.select("image_id", "phash")
+        .withColumn("_rn", F.row_number().over(w_rep))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    banded = reps.withColumn(
         "band",
         F.explode(
             F.array(
@@ -436,22 +470,33 @@ def near_dup_pairs(payload: DataFrame, bands: int = 11, max_hamming: int = 10) -
                 ]
             )
         ),
-    ).select("image_id", "phash", "band.band_no", "band.band_val")
-    left = banded.alias("a")
-    right = banded.alias("b")
+    ).select(
+        F.struct("image_id", "phash").alias("img"), "band.band_no", "band.band_val"
+    )
+    buckets = (
+        banded.groupBy("band_no", "band_val")
+        .agg(F.sort_array(F.collect_list("img")).alias("_is"))
+        .filter(F.size("_is").between(2, max_bucket or (1 << 31)))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_is"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_is"), i + 2, F.size(F.col("_is"))),
+                    lambda y: F.struct(
+                        x["image_id"].alias("image_a"),
+                        y["image_id"].alias("image_b"),
+                        x["phash"].alias("phash_a"),
+                        y["phash"].alias("phash_b"),
+                    ),
+                ),
+            )
+        )
+    )
     pairs = (
-        left.join(
-            right,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.image_id") < F.col("b.image_id")),
-        )
-        .select(
-            F.col("a.image_id").alias("image_a"),
-            F.col("b.image_id").alias("image_b"),
-            F.col("a.phash").alias("phash_a"),
-            F.col("b.phash").alias("phash_b"),
-        )
+        buckets.select(pair.alias("p"))
+        .select("p.image_a", "p.image_b", "p.phash_a", "p.phash_b")
         .dropDuplicates(["image_a", "image_b"])
     )
     hamming = F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b")))

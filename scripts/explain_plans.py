@@ -147,11 +147,13 @@ images = decode_and_phash(fetch_images(pages, "p", 42, 1))
 pairs = near_dup_pairs(images)
 sections.append(
     (
-        "phash banded near-dup self-join (J8)",
-        "Must show: the band explode feeding an equi-join on "
-        "(band_no, band_val) — a hash join on band keys, NOT a nested-"
-        "loop cross join; the exact Hamming popcount runs post-join on "
-        "candidates only.",
+        "phash banded near-dup pairs (J8)",
+        "Must show: exact-phash pre-collapse (Window row_number), then "
+        "ONE shuffle bands -> pairs — a single HashAggregate "
+        "(collect_list) per (band_no, band_val) with the size cap and "
+        "the in-bucket pair expansion as a JVM higher-order generate, "
+        "NOT a self-join; the exact Hamming popcount runs on candidates "
+        "only.",
         pairs,
     )
 )

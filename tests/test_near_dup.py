@@ -65,3 +65,44 @@ def test_bands_must_exceed_max_hamming(spark):
     df = spark.createDataFrame([("a", 1)], ["image_id", "phash"])
     with pytest.raises(ValueError, match="pigeonhole"):
         near_dup_pairs(df, bands=4, max_hamming=10)
+
+
+def test_identical_phash_corpus_no_blowup(spark):
+    """VERDICT r2 #3: 5k byte-identical phashes must NOT expand to
+    O(n²) pairs — the exact pre-collapse reduces the group to one
+    representative, so the banded join emits no pairs at all (exact
+    groups are dedup_payload_exact's output). A planted near-dup of the
+    group must still pair with the group's representative."""
+    near = _flip_bits(BASE, [3, 21, 40])  # distance 3 from the clones
+    rows = [(f"c{i:05d}", BASE) for i in range(5000)] + [("near", near)]
+    df = spark.createDataFrame(rows, ["image_id", "phash"]).withColumn(
+        "phash", F.col("phash").cast("long")
+    )
+    got = near_dup_pairs(df).collect()
+    # exactly one pair: representative (min image_id) vs the near dup
+    assert len(got) == 1
+    r = got[0]
+    assert {r["image_a"], r["image_b"]} == {"c00000", "near"}
+    assert r["hamming"] == 3
+
+
+def test_bucket_cap_drops_degenerate_band(spark):
+    """Buckets above max_bucket are dropped; members still pair through
+    their other bands (distinct phashes sharing ALL bands stay found)."""
+    # 30 distinct phashes all sharing band 0 (low 6 bits constant) and
+    # differing high bits -> band-0 bucket size 30 > cap 10, dropped;
+    # the planted pair differs in ONE bit so the other 10 shared bands
+    # still recover it.
+    a = BASE
+    b = _flip_bits(BASE, [63])
+    rows = [("a", a), ("b", b)] + [
+        (f"x{i:02d}", (BASE & 0x3F) | (i << 16)) for i in range(28)
+    ]
+    df = spark.createDataFrame(rows, ["image_id", "phash"]).withColumn(
+        "phash", F.col("phash").cast("long")
+    )
+    got = {
+        (r["image_a"], r["image_b"]): r["hamming"]
+        for r in near_dup_pairs(df, max_bucket=10).collect()
+    }
+    assert got[("a", "b")] == 1
