@@ -117,8 +117,17 @@ def main(argv: list[str] | None = None) -> int:
             if not args.fields:
                 print("--output-format requires --fields", file=sys.stderr)
                 return 2
-            eng = _engine(spark, args, args.run_name)
-            ext = eng.extraction.read()
+            # export THIS run only, from its pinned snapshot: in a shared
+            # warehouse LATEST may contain other runs' listings and
+            # orphan commits from crashed sibling attempts (ADVICE r2)
+            from pyspark.sql import functions as F
+
+            eng = _engine(spark, args, result.run_name)
+            with open(eng.state_path) as f:
+                pins = json.load(f)["snapshots"]
+            ext = eng.extraction.read(pins.get("extraction")).filter(
+                F.col("run") == result.run_name
+            )
             paths = api.export_extraction(
                 ext,
                 tuple(args.fields),

@@ -216,6 +216,11 @@ def export_extraction(
     from par_scrape_spark.operators.extraction import explode_listings
 
     wide = explode_listings(extraction, list(fields))
+    # formula neutralization applies to spreadsheet formats ONLY
+    # (csv/excel, CWE-1236); json and markdown carry the raw values like
+    # the reference (scrape_data.py:139-145 neutralizes the DataFrame it
+    # writes to csv/excel but save_formatted_data dumps raw json) —
+    # neutralizing json would corrupt e.g. negative numbers (ADVICE r2)
     safe = wide.select(
         "run",
         "url",
@@ -227,7 +232,7 @@ def export_extraction(
     for fmt in formats:
         path = f"{out_dir.rstrip('/')}/extracted_data.{fmt}"
         if fmt == "json":
-            safe.write.mode("overwrite").json(path)
+            wide.write.mode("overwrite").json(path)
         elif fmt == "csv":
             safe.write.mode("overwrite").option("header", True).csv(path)
         elif fmt == "md":

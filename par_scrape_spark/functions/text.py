@@ -336,11 +336,20 @@ def minhash_near_dup_pairs(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.lit(float(N_PERM))
     )
-    return (
+    result = (
         pairs.withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+    # materialize the (bounded: bucket-capped) pair set eagerly, then
+    # release the signature cache — without this, repeated calls in one
+    # session accumulate N_docs x 32-long cached signature partitions in
+    # executor storage for the session lifetime (ADVICE r2). The eager
+    # localCheckpoint truncates the plan so the returned frame no longer
+    # references sigs at all.
+    result = result.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return result
 
 
 def ngram_jaccard_pairs(
@@ -350,18 +359,45 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact-Jaccard verify tier for LSH candidates: join texts back in
-    and compute token-shingle Jaccard in a pandas UDF."""
+    and compute token-shingle Jaccard in a pandas UDF.
+
+    Vectorized (VERDICT r2 #5 — this was the last per-row Python text
+    kernel): both sides of the batch run through the same flat shingle-
+    hash machinery as ``_minhash_batch`` (batch tokenize → batch token
+    hash → K-window mix across the flat array), and each pair's
+    intersection/union are uint64 ``np.intersect1d``/``np.union1d`` on
+    the deduplicated hash arrays — set algebra in C, no tuple building.
+    Shingle identity is by 61-bit hash, exactly as the LSH tier and the
+    minhash estimate define it."""
+
+    def _shingle_sets(texts: pd.Series) -> list[np.ndarray]:
+        hashes, counts = _tokenize_batch(texts)
+        m = len(hashes) - SHINGLE_K + 1
+        empty = np.zeros(0, dtype=np.uint64)
+        if m <= 0:
+            return [empty] * len(texts)
+        sh = hashes[:m].copy()
+        for k in range(1, SHINGLE_K):
+            sh = _mix64_arr(sh * np.uint64(0x9E3779B97F4A7C15) ^ hashes[k : k + m])
+        sh &= np.uint64(_MERSENNE)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        valid = doc_idx[:m] == doc_idx[SHINGLE_K - 1 :]
+        sizes = np.maximum(counts - SHINGLE_K + 1, 0)
+        bounds = np.concatenate(([0], np.cumsum(sizes)))
+        sh = sh[valid]
+        return [
+            np.unique(sh[bounds[i] : bounds[i + 1]]) for i in range(len(texts))
+        ]
 
     @F.pandas_udf(T.DoubleType())
     def _jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(ta, tb):
-            tx = _TOKEN_RE.findall((x or "").lower())
-            ty = _TOKEN_RE.findall((y or "").lower())
-            sx = {tuple(tx[i : i + SHINGLE_K]) for i in range(max(0, len(tx) - SHINGLE_K + 1))}
-            sy = {tuple(ty[i : i + SHINGLE_K]) for i in range(max(0, len(ty) - SHINGLE_K + 1))}
-            union = len(sx | sy)
-            out.append(len(sx & sy) / union if union else 0.0)
+        sa = _shingle_sets(ta)
+        sb = _shingle_sets(tb)
+        out = np.zeros(len(ta))
+        for i, (x, y) in enumerate(zip(sa, sb)):
+            union = len(np.union1d(x, y))
+            if union:
+                out[i] = len(np.intersect1d(x, y, assume_unique=True)) / union
         return pd.Series(out)
 
     texts = docs.select(F.col(id_col), F.col(text_col))
@@ -397,6 +433,8 @@ _STOPWORDS = {
 
 
 def lang_id(text: str) -> str:
+    """Scalar reference semantics (tests assert the batch kernel matches
+    this exactly)."""
     if not text:
         return "und"
     sample = text[:2000]
@@ -418,6 +456,206 @@ def lang_id(text: str) -> str:
     return best
 
 
+_LANG_ORDER = list(_STOPWORDS)  # en first: argmax tie-break == scalar's
+
+# lazy per-worker codepoint lookups: exact parity with the scalar
+# string ops, evaluated once per codepoint ever seen by this python
+# worker (a full-array np.unique per batch was the vectorized kernel's
+# own hotspot). ASCII takes a pure range-check fast path.
+_CP_LUTS: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _cp_lut(kind: str, cp_hi: np.ndarray, fill) -> np.ndarray:
+    """Memoized per-codepoint lookup for non-ASCII codepoints: ``fill``
+    maps a codepoint int to the stored value, evaluated lazily for
+    codepoints not yet seen."""
+    if kind not in _CP_LUTS:
+        _CP_LUTS[kind] = (
+            np.zeros(0x110000, np.uint32),
+            np.zeros(0x110000, np.bool_),
+        )
+    lut, seen = _CP_LUTS[kind]
+    unseen = np.unique(cp_hi[~seen[cp_hi]])
+    if len(unseen):
+        for c in unseen:
+            lut[c] = fill(int(c))
+        seen[unseen] = True
+    return lut[cp_hi]
+
+
+def _alpha_mask(cp: np.ndarray) -> np.ndarray:
+    """Vectorized exact str.isalpha over a uint32 codepoint array."""
+    folded = cp | np.uint32(0x20)
+    out = (cp < 0x80) & (folded >= 0x61) & (folded <= 0x7A)
+    non_ascii = cp >= 0x80
+    if non_ascii.any():
+        out[non_ascii] = (
+            _cp_lut("alpha", cp[non_ascii], lambda c: chr(c).isalpha()) != 0
+        )
+    return out
+
+
+def _word_mask(cp: np.ndarray) -> np.ndarray:
+    """Vectorized parity with ``\\w`` membership (token characters)."""
+    folded = cp | np.uint32(0x20)
+    out = (cp < 0x80) & (
+        ((folded >= 0x61) & (folded <= 0x7A))
+        | ((cp >= 0x30) & (cp <= 0x39))
+        | (cp == 0x5F)
+    )
+    non_ascii = cp >= 0x80
+    if non_ascii.any():
+        out[non_ascii] = (
+            _cp_lut(
+                "word",
+                cp[non_ascii],
+                lambda c: _TOKEN_RE.fullmatch(chr(c)) is not None,
+            )
+            != 0
+        )
+    return out
+
+
+def _lower_cp(cp: np.ndarray) -> np.ndarray:
+    """Vectorized str.lower per codepoint (first codepoint of the
+    lowercase form for the rare multi-char expansions)."""
+    upper_ascii = (cp >= 0x41) & (cp <= 0x5A)
+    out = np.where(upper_ascii, cp + np.uint32(0x20), cp)
+    non_ascii = cp >= 0x80
+    if non_ascii.any():
+        out[non_ascii] = _cp_lut(
+            "lower", cp[non_ascii], lambda c: ord(chr(c).lower()[0])
+        )
+    return out
+
+
+_CP_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _token_hashes_cp(
+    lcp: np.ndarray, wm: np.ndarray, tok_starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hash, length) per token of a lowercased codepoint array.
+
+    Each reduceat segment runs from one token start to the next; within
+    it the word chars are a contiguous prefix (the token) — non-word
+    tail chars are zeroed out of the sum, so the segment sum is the
+    token's position-salted codepoint mix and the wm-count its length.
+    The commutative sum stays order-aware through the position salt;
+    the final mix folds in the length."""
+    idx = np.arange(len(lcp), dtype=np.int64)
+    starts_mask = np.zeros(len(lcp), np.bool_)
+    starts_mask[tok_starts] = True
+    seg_start_idx = np.maximum.accumulate(np.where(starts_mask, idx, 0))
+    pos = (idx - seg_start_idx).astype(np.uint64)
+    mixed = _mix64_arr(lcp.astype(np.uint64) ^ _mix64_arr(pos * _CP_GOLD))
+    mixed[~wm] = 0
+    sums = np.add.reduceat(mixed, tok_starts)
+    tlens = np.add.reduceat(wm.astype(np.int64), tok_starts).astype(np.uint64)
+    return _mix64_arr(sums ^ _mix64_arr(tlens)), tlens
+
+
+def _sw_cp_hash(word: str) -> np.uint64:
+    """Scalar twin of ``_token_hashes_cp`` for a single clean token."""
+    a = np.frombuffer(word.encode("utf-32-le"), dtype=np.uint32)
+    h, _ = _token_hashes_cp(
+        a, np.ones(len(a), np.bool_), np.array([0], dtype=np.int64)
+    )
+    return h[0]
+
+
+_SW_CP_HASHES = {
+    lang: np.array(sorted(_sw_cp_hash(w) for w in sw), dtype=np.uint64)
+    for lang, sw in _STOPWORDS.items()
+}
+_SW_MAX_LEN = max(len(w) for sw in _STOPWORDS.values() for w in sw)
+
+
+def _lang_id_batch(texts: pd.Series) -> list[str]:
+    """Vectorized lang_id (VERDICT r2 #4: the scalar path was per-
+    character Python inside the pandas UDF). One pass over the batch:
+
+    - codepoint counts: the concatenated samples decode to a single
+      uint32 codepoint array; CJK/Cyrillic are range masks, ``isalpha``
+      is ``_alpha_mask`` (ASCII range check + memoized exact-parity LUT
+      for the rest) — per-doc counts fall out of one cumsum-difference
+      per mask.
+    - stopword hits: Latin docs stay in the codepoint domain — token
+      starts are ``\\w``-mask transitions, token hashes are position-
+      salted segment sums (``_token_hashes_cp``), and all 4 languages'
+      stopword hash arrays match in one (tokens × stopwords)
+      comparison; distinct-hit counts per doc are a maximum.reduceat.
+      No regex, no string building, no per-token Python anywhere.
+    """
+    n = len(texts)
+    out = np.full(n, "en", dtype=object)
+    samples = [(t or "")[:2000] for t in texts]
+    joined = "".join(samples)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter(map(len, samples), dtype=np.int64, count=n)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+
+    # one fused int16 reduceat for all three per-doc counts (samples are
+    # capped at 2000 chars, so int16 cannot overflow; three separate
+    # cumsum-diff passes each paid a fresh multi-MB allocation)
+    if len(cp):
+        stack = np.empty((len(cp), 3), np.int16)
+        stack[:, 0] = _alpha_mask(cp)
+        stack[:, 1] = (cp >= 0x4E00) & (cp <= 0x9FFF)
+        stack[:, 2] = (cp >= 0x0400) & (cp <= 0x04FF)
+        starts = np.minimum(offsets[:-1], len(cp) - 1)
+        sums = np.add.reduceat(stack, starts, axis=0).astype(np.int64)
+        sums[lens == 0] = 0  # reduceat's empty-segment quirk
+        n_alpha, n_cjk, n_cyr = sums[:, 0], sums[:, 1], sums[:, 2]
+    else:
+        n_alpha = n_cjk = n_cyr = np.zeros(n, dtype=np.int64)
+    safe_alpha = np.maximum(n_alpha, 1)
+    und = n_alpha == 0
+    zh = ~und & (n_cjk / safe_alpha > 0.3)
+    ru = ~und & ~zh & (n_cyr / safe_alpha > 0.3)
+
+    latin = ~(und | zh | ru)
+    latin_idx = np.flatnonzero(latin)
+    if len(latin_idx):
+        # stopword hits entirely in the codepoint domain: no findall, no
+        # string building — lowercase the latin docs' segment of the cp
+        # array, find token starts as \w-mask transitions (forced at doc
+        # boundaries), hash each token prefix, and match all 4 stopword
+        # hash sets at once on tokens short enough to be stopwords
+        lcp = _lower_cp(cp[np.repeat(latin, lens)])
+        llens = lens[latin_idx]
+        loff = np.concatenate(([0], np.cumsum(llens)))
+        wm = _word_mask(lcp)
+        prev = np.concatenate(([False], wm[:-1]))
+        doc_start = np.zeros(len(lcp), np.bool_)
+        doc_start[np.minimum(loff[:-1], max(len(lcp) - 1, 0))] = True
+        tok_starts = np.flatnonzero(wm & (~prev | doc_start))
+        hits = np.zeros((len(latin_idx), len(_LANG_ORDER)), dtype=np.int64)
+        if len(tok_starts):
+            th, tlens = _token_hashes_cp(lcp, wm, tok_starts)
+            short = tlens <= np.uint64(_SW_MAX_LEN)
+            th = th[short]
+            tdoc = np.searchsorted(loff, tok_starts[short], side="right") - 1
+            dstarts = np.searchsorted(tdoc, np.arange(len(latin_idx)))
+            tok_count = np.diff(np.concatenate((dstarts, [len(th)])))
+            if len(th):
+                rstarts = np.minimum(dstarts, len(th) - 1)
+                for li, lang in enumerate(_LANG_ORDER):
+                    eq = (th[:, None] == _SW_CP_HASHES[lang][None, :]).astype(
+                        np.int8
+                    )
+                    pres = np.maximum.reduceat(eq, rstarts, axis=0)
+                    pres[tok_count == 0] = 0
+                    hits[:, li] = pres.sum(axis=1)
+        best = np.argmax(hits, axis=1)
+        for j, i in enumerate(latin_idx):
+            out[i] = _LANG_ORDER[best[j]]
+    out[und] = "und"
+    out[zh] = "zh"
+    out[ru] = "ru"
+    return out.tolist()
+
+
 @F.pandas_udf(T.StringType())
 def lang_id_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: lang_id(t) if t is not None else "und")
+    return pd.Series(_lang_id_batch(texts), dtype=object)

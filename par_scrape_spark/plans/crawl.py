@@ -530,13 +530,17 @@ class CrawlEngine:
                         # non-md prior outputs carried over verbatim, plus a
                         # "reused" ref naming the prior artifact (the
                         # engine's analogue of the reference's file copy,
-                        # runner.py:400-439 — a join projection, no I/O)
+                        # runner.py:400-439 — a join projection, no I/O).
+                        # "reused"/"extracted" are excluded from the
+                        # carry-over: the branches below re-emit them, and
+                        # a third-generation --if-changed reuse would
+                        # otherwise hit DUPLICATED_MAP_KEY in map_concat.
                         F.map_filter(
                             F.coalesce(
                                 F.col("prior_file_refs"),
                                 F.create_map().cast("map<string,string>"),
                             ),
-                            lambda k, _: k != "md",
+                            lambda k, _: ~k.isin("md", "reused", "extracted"),
                         ),
                         F.when(
                             F.col("prior_file_refs").isNotNull(),
@@ -752,14 +756,26 @@ class CrawlEngine:
                 new_rows.select("host_salt", "url_hash"),
                 cfg.num_buckets,
             )
-            if chain:
+            # compaction folds the delta chain and invalidates the
+            # chained images — predict it BEFORE submitting the chain
+            # checkpoints so a compacting superstep doesn't compute two
+            # frontier-sized eager checkpoints only to discard them
+            # (ADVICE r2: one leaked checkpoint copy per compaction).
+            # The prediction (current deltas + this commit) matches the
+            # authoritative post-commit check below except under an
+            # unexpected concurrent commit, which the discard branch
+            # still handles by awaiting + unpersisting.
+            will_compact = (
+                self.frontier.delta_count() + 1 >= cfg.compact_every
+            )
+            fut_chain_f = fut_chain_p = None
+            if chain and not will_compact:
                 # localCheckpoint truncates the plan (no lineage growth
                 # across supersteps) and materializes eagerly, so the
                 # parents can be unpersisted safely; on failure the disk
                 # snapshot is the recovery path (resume()). Upsert row
                 # count is bounded by batch + resets + new discoveries —
-                # the broadcast guard uses that bound. (If compaction
-                # triggers below, the chained images are discarded.)
+                # the broadcast guard uses that bound.
                 survivors_f = frontier.join(
                     _bounded_broadcast(
                         upsert.select("run", "url"),
@@ -835,10 +851,17 @@ class CrawlEngine:
                     "url_hash",
                 )
                 self.filters.advance(None, step, full_keys, cfg.num_buckets)
-            if chain and not compacted:
-                new_frontier = fut_chain_f.result()
-                new_politeness = fut_chain_p.result()
-        do_chain = chain and not compacted
+            if fut_chain_f is not None:
+                if compacted:
+                    # prediction raced a concurrent commit: the chained
+                    # images are stale — await and release them so no
+                    # frontier-sized checkpoint leaks into storage
+                    fut_chain_f.result().unpersist()
+                    fut_chain_p.result().unpersist()
+                else:
+                    new_frontier = fut_chain_f.result()
+                    new_politeness = fut_chain_p.result()
+        do_chain = chain and new_frontier is not None
         if compacted:
             # fold the politeness delta chain on the frontier's cadence
             psnap = self.politeness.compact(psnap)

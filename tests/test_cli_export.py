@@ -86,6 +86,19 @@ def test_formula_neutralization_in_export(spark, tmp_path):
         if f.endswith(".csv")
     )
     assert "'=SUM(A1)" in data
+    # ...but NOT to json: the reference dumps the raw model values to
+    # json (scrape_data.py:181-182) — a leading quote there would corrupt
+    # e.g. negative numbers (ADVICE r2)
+    jpaths = api.export_extraction(
+        ext, ("Title", "Price"), str(tmp_path / "j"), formats=("json",)
+    )
+    jrows = [
+        json.loads(line)
+        for f in os.listdir(jpaths["json"])
+        if f.endswith(".json")
+        for line in open(os.path.join(jpaths["json"], f), encoding="utf-8")
+    ]
+    assert jrows and jrows[0]["Title"] == "=SUM(A1)"
 
 
 def test_cli_queue_roundtrip(spark, crawled, capsys):

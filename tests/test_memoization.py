@@ -76,3 +76,37 @@ def test_without_if_changed_no_reuse(spark):
         assert refs and all("reused" not in m for m in refs)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_third_generation_if_changed_reuse(spark):
+    """ADVICE r2 #1: a third --if-changed generation reuses prior refs
+    that themselves contain a 'reused' key — the carry-over must not
+    collide with the re-emitted 'reused' entry (DUPLICATED_MAP_KEY under
+    the default mapKeyDedupPolicy=EXCEPTION)."""
+    wh = tempfile.mkdtemp(prefix="memo3_")
+    try:
+        CrawlEngine(spark, _cfg("g1", False), wh).run()
+        CrawlEngine(spark, _cfg("g2", True), wh).run()
+        eng3 = CrawlEngine(spark, _cfg("g3", True), wh)
+        eng3.run()  # pre-fix: superstep throws DUPLICATED_MAP_KEY
+        rows2 = {
+            r["url"]: dict(r["file_refs"] or {})
+            for r in eng3.frontier.read()
+            .filter((F.col("run") == "g2") & (F.col("status") == "completed"))
+            .collect()
+        }
+        rows3 = {
+            r["url"]: dict(r["file_refs"] or {})
+            for r in eng3.frontier.read()
+            .filter((F.col("run") == "g3") & (F.col("status") == "completed"))
+            .collect()
+        }
+        assert set(rows3) == set(rows2) and rows3
+        for url, refs in rows3.items():
+            assert refs["md"].startswith("g3/")
+            # gen-3 reuse points at gen-2's artifact (the latest match)
+            assert refs["reused"] == rows2[url]["md"]
+            assert refs["reused"].startswith("g2/")
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -97,3 +97,61 @@ def test_quality_and_token_count_jvm_side(spark):
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
     ).first()
     assert got["n_tokens"] == 3
+
+
+def test_lang_id_batch_equals_scalar():
+    """The vectorized kernel must match the scalar reference exactly —
+    including CJK/Cyrillic ratios, isalpha parity, empty/None, tie-break
+    order, and the 2000-char sample truncation."""
+    from par_scrape_spark.functions.text import _lang_id_batch
+
+    texts = [
+        "the cat sat on the mat with it for the win",
+        "der hund ist nicht mit der katze und das haus",
+        "le chat est dans la maison pour une fête",
+        "el perro es grande y está en la casa con una",
+        "это просто русский текст для проверки",
+        "这是一个中文测试文档 这是一个中文测试文档",
+        "",
+        None,
+        "12345 67890 !!!",
+        "mixed 中文 and english the of to is in that",
+        "x " * 3000,  # exercises the 2000-char truncation
+        "zz qq ww",  # latin, zero stopword hits -> en tie-break
+        "один two три the und",  # cyrillic below 0.3 -> latin path
+    ]
+    batch = _lang_id_batch(pd.Series(texts, dtype=object))
+    for t, got in zip(texts, batch):
+        want = lang_id(t) if t is not None else "und"
+        assert got == want, (t, got, want)
+
+
+def test_ngram_jaccard_vectorized_values(spark):
+    """Hash-set jaccard equals the tuple-set definition on real pairs."""
+    from par_scrape_spark.functions.text import SHINGLE_K, _TOKEN_RE, ngram_jaccard_pairs
+
+    def ref_jaccard(x, y):
+        tx = _TOKEN_RE.findall((x or "").lower())
+        ty = _TOKEN_RE.findall((y or "").lower())
+        sx = {tuple(tx[i : i + SHINGLE_K]) for i in range(max(0, len(tx) - SHINGLE_K + 1))}
+        sy = {tuple(ty[i : i + SHINGLE_K]) for i in range(max(0, len(ty) - SHINGLE_K + 1))}
+        u = len(sx | sy)
+        return len(sx & sy) / u if u else 0.0
+
+    texts = {
+        1: BODY,
+        2: BODY + " appended tail token",
+        3: " ".join(f"other{i}" for i in range(80)),
+        4: "a b",  # below SHINGLE_K -> empty set
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (4, 4)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, cands).collect()
+    }
+    for (a, b), j in got.items():
+        assert j == round(ref_jaccard(texts[a], texts[b]), 4), (a, b)
+    assert got[(1, 2)] > 0.5 and got[(1, 3)] == 0.0 and got[(4, 4)] == 0.0
