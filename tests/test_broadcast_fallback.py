@@ -1,0 +1,40 @@
+"""The _bounded_broadcast guard's ABOVE-limit branch (VERDICT r2 next-5
+#4): with broadcast_row_limit=0 every per-superstep discovery set takes
+the planner-chosen shuffle-join path instead of a forced broadcast. At
+100x scale that is the branch that actually runs on link-dense
+supersteps, so it must produce bit-identical crawl results. PLANS.md
+section 'Seen-set exact check ABOVE the broadcast guard' carries the
+no-BroadcastExchange plan evidence for the big side."""
+
+from par_scrape_spark.config import CrawlConfig, CrawlType
+from par_scrape_spark.plans.crawl import CrawlEngine
+
+
+def _run(spark, tmp_path, name, **kw):
+    cfg = CrawlConfig(
+        run_name=name,
+        seeds=("http://site-00001.example", "http://site-00002.example"),
+        crawl_type=CrawlType.DOMAIN,
+        crawl_batch_size=3,
+        crawl_max_pages=12,
+        web_seed=42,
+        **kw,
+    )
+    eng = CrawlEngine(spark, cfg, str(tmp_path / name))
+    state = eng.run()
+    rows = {
+        (r["url"], r["status"], r["depth"], r["attempts"])
+        for r in eng.frontier.read(state["snapshots"]["frontier"]).collect()
+    }
+    return state["selected_log"], rows
+
+
+def test_shuffle_fallback_matches_broadcast_path(spark, tmp_path):
+    log_b, rows_b = _run(spark, tmp_path, "bcast")  # default: broadcasts
+    log_s, rows_s = _run(
+        spark, tmp_path, "shuf", broadcast_row_limit=0
+    )  # guard always above-limit: planner joins, no forced broadcast
+    assert log_b == log_s
+    assert {(u, s, d, a) for (u, s, d, a) in rows_b} == {
+        (u, s, d, a) for (u, s, d, a) in rows_s
+    }
