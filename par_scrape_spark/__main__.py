@@ -42,6 +42,43 @@ def _add_scrape(sub: argparse._SubParsersAction) -> None:
         help="export the extraction table after the run",
     )
     p.add_argument("--output-dir", default=None)
+    # LLM option surface (reference __main__.py:139-214); execution is
+    # sandbox-mooted but validation runs before the crawl starts
+    p.add_argument(
+        "--ai-provider",
+        default="synthetic",
+        help="AI provider for extraction (reference -a; 'synthetic' = "
+        "the engine's deterministic extractor)",
+    )
+    p.add_argument("--model", default=None, help="model name (reference -m)")
+    p.add_argument("--prompt-cache", action="store_true")
+    p.add_argument(
+        "--reasoning-effort", default=None, choices=["low", "medium", "high"]
+    )
+    p.add_argument("--reasoning-budget", type=int, default=None)
+    p.add_argument(
+        "--extraction-prompt",
+        default=None,
+        help="path to an extraction instruction file (reference -e)",
+    )
+    p.add_argument(
+        "--display-output",
+        default=None,
+        choices=["md", "csv", "json"],
+        help="render the extracted table to the terminal (reference -d)",
+    )
+    p.add_argument(
+        "--silent",
+        action="store_true",
+        help="suppress non-error terminal output (reference -q)",
+    )
+    p.add_argument(
+        "--cleanup",
+        default="none",
+        choices=["none", "before", "after", "both"],
+        help="remove this run's export directory before/after the run "
+        "(reference -c)",
+    )
 
 
 def _add_queue(sub: argparse._SubParsersAction) -> None:
@@ -77,6 +114,45 @@ def main(argv: list[str] | None = None) -> int:
 
     from par_scrape_spark import api
     from par_scrape_spark.config import CrawlType
+
+    if args.cmd == "scrape":
+        # pre-crawl validation — invalid option combinations must fail
+        # BEFORE any Spark/crawl work starts (reference
+        # runner.py:244-298, __main__.py:334-338)
+        from par_scrape_spark.llm_options import ParScrapeError, validate_llm_options
+
+        try:
+            validate_llm_options(
+                output_formats=tuple(args.output_format),
+                extract_fields=tuple(args.fields),
+                ai_provider=args.ai_provider,
+                model=args.model,
+                prompt_cache=args.prompt_cache,
+                reasoning_effort=args.reasoning_effort,
+                reasoning_budget=args.reasoning_budget,
+            )
+        except ParScrapeError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        if args.display_output and args.display_output not in args.output_format:
+            print(
+                f"Display output format '{args.display_output}' is not in "
+                "the specified output formats.",
+                file=sys.stderr,
+            )
+            return 2
+        extraction_prompt = None
+        if args.extraction_prompt:
+            try:
+                with open(args.extraction_prompt, encoding="utf-8") as f:
+                    extraction_prompt = f.read()
+            except FileNotFoundError:
+                print(
+                    f"Extraction prompt file not found: {args.extraction_prompt}",
+                    file=sys.stderr,
+                )
+                return 2
+
     from par_scrape_spark.session import get_spark
 
     spark = get_spark(
@@ -85,6 +161,15 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
     )
     if args.cmd == "scrape":
+        import shutil
+
+        def _say(obj) -> None:
+            if not args.silent:
+                print(json.dumps(obj))
+
+        out_dir = args.output_dir or f"{args.warehouse}/export-{args.run_name}"
+        if args.cleanup in ("before", "both"):
+            shutil.rmtree(out_dir, ignore_errors=True)
         result = api.scrape(
             spark,
             list(args.url),
@@ -102,21 +187,17 @@ def main(argv: list[str] | None = None) -> int:
             prune=args.prune,
             if_changed=args.if_changed,
             extract_fields=tuple(args.fields),
+            extraction_prompt=extraction_prompt,
         )
-        print(
-            json.dumps(
-                {
-                    "run": result.run_name,
-                    "ok": result.ok,
-                    "supersteps": result.supersteps,
-                    "pages": {p.url: p.status for p in result.pages},
-                }
-            )
+        _say(
+            {
+                "run": result.run_name,
+                "ok": result.ok,
+                "supersteps": result.supersteps,
+                "pages": {p.url: p.status for p in result.pages},
+            }
         )
         if args.output_format:
-            if not args.fields:
-                print("--output-format requires --fields", file=sys.stderr)
-                return 2
             # export THIS run only, from its pinned snapshot: in a shared
             # warehouse LATEST may contain other runs' listings and
             # orphan commits from crashed sibling attempts (ADVICE r2)
@@ -129,12 +210,15 @@ def main(argv: list[str] | None = None) -> int:
                 F.col("run") == result.run_name
             )
             paths = api.export_extraction(
-                ext,
-                tuple(args.fields),
-                args.output_dir or f"{args.warehouse}/export-{result.run_name}",
-                tuple(args.output_format),
+                ext, tuple(args.fields), out_dir, tuple(args.output_format)
             )
-            print(json.dumps({"exports": paths}))
+            _say({"exports": paths})
+            if args.display_output:
+                # reference __main__.py:599-612: render the extracted
+                # table to the terminal in the chosen format
+                print(api.render_extraction(ext, tuple(args.fields), args.display_output))
+        if args.cleanup in ("after", "both"):
+            shutil.rmtree(out_dir, ignore_errors=True)
         return 0 if result.ok else 1
 
     # queue subcommands

@@ -62,13 +62,30 @@ def scrape(
     max_depth: int | None = None,
     prune: bool = False,
     extract_fields: tuple[str, ...] = (),
+    extraction_prompt: str | None = None,
+    output_formats: tuple[str, ...] = (),
+    ai_provider: str | None = None,
+    model: str | None = None,
+    prompt_cache: bool = False,
     **extra,
 ) -> ScrapeResult:
     """Run a crawl and materialize its per-page results.
 
     Defaults follow the reference CLI (__main__.py:110-117,241-260):
-    single_page, batch 1, 100 pages, 3 retries.
+    single_page, batch 1, 100 pages, 3 retries. Invalid LLM/extraction
+    option combinations raise CrawlConfigError / ProviderConfigError
+    BEFORE any crawl work starts (reference api.py:49-56,
+    runner.py:244-298; tests/test_api.py:26-74 parity).
     """
+    from par_scrape_spark.llm_options import validate_llm_options
+
+    validate_llm_options(
+        output_formats=output_formats,
+        extract_fields=extract_fields,
+        ai_provider=ai_provider,
+        model=model,
+        prompt_cache=prompt_cache,
+    )
     seeds = tuple([url] if isinstance(url, str) else url)
     cfg = CrawlConfig(
         run_name=run_name,
@@ -85,6 +102,7 @@ def scrape(
         max_depth=max_depth,
         prune=prune,
         extract_fields=tuple(extract_fields),
+        extraction_prompt=extraction_prompt,
         extra=extra,
     )
     engine = CrawlEngine(spark, cfg, warehouse)
@@ -190,6 +208,29 @@ def _markdown_table(pdf) -> str:
     lines = [_row(cols), "|" + "|".join("-" * (w + 2) for w in widths) + "|"]
     lines += [_row(r) for r in cells]
     return "\n".join(lines) + "\n"
+
+
+def render_extraction(
+    extraction: DataFrame,
+    fields: tuple[str, ...] | list[str],
+    fmt: str,
+) -> str:
+    """--display-output rendering (reference __main__.py:599-612 via
+    par_ai_core display_formatted_output): the extracted table as
+    terminal text in md/csv/json. Driver-side toPandas convenience —
+    display is a human-scale surface, never part of the data path."""
+    from par_scrape_spark.operators.extraction import explode_listings
+
+    pdf = explode_listings(extraction, list(fields)).toPandas()
+    if fmt == "md":
+        return _markdown_table(pdf)
+    if fmt == "csv":
+        return pdf.to_csv(index=False)
+    if fmt == "json":
+        import json as _json
+
+        return _json.dumps(pdf.to_dict(orient="records"), indent=2)
+    raise ValueError(f"unsupported display format {fmt!r}")
 
 
 def export_extraction(

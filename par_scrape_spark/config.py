@@ -100,6 +100,9 @@ class CrawlConfig:
     # and content hash always use the UNPRUNED markdown (runner.py:531)
     extract_fields: tuple[str, ...] = ()  # dynamic extraction fields; empty
     # = markdown-only run (reference ai_provider=None)
+    extraction_prompt: str | None = None  # extraction instruction text
+    # (reference --extraction-prompt file, __main__.py:214-216); parsed by
+    # ExtractionRules — deterministically changes extractor behavior
     web_seed: int = 42  # synthetic web determinism seed
     num_buckets: int = 8  # host_salt buckets; 4096 at 10^10 design point
     bloom_capacity_per_bucket: int = 1 << 17

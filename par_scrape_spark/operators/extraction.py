@@ -35,6 +35,7 @@ an error-status frontier row.
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -78,6 +79,56 @@ _CAPTION_RE = re.compile(r"!\[([^\]]*)\]")
 _WORD_RE = re.compile(r"\bw(\d{3})\b")
 
 
+@dataclass(frozen=True)
+class ExtractionRules:
+    """Parsed extraction-instruction directives.
+
+    The reference ships a user-overridable extraction prompt
+    (``--extraction-prompt``, /root/reference/src/par_scrape/
+    __main__.py:214-216; consumed as the LLM system message in
+    scrape_data.py:75-136). The engine's deterministic extractor honors
+    the same config surface through three directives it parses out of
+    the instruction text — a stand-in that *verifiably changes
+    extraction behavior*, so the plumbing (config field → engine →
+    extractor) is exercised end-to-end and a real LLM client slots into
+    the same parameter:
+
+    - ``skip fields: a, b`` — omit the named fields from every listing
+    - ``max listings: N`` — cap listings extracted per page
+    - ``allow missing price`` — a page without a price signal yields one
+      page-level listing with empty price fields instead of the
+      "No data was found by the LLM." error
+    Any other instruction text is carried verbatim (a real LLM would
+    read it); unknown directives change nothing.
+    """
+
+    skip_fields: frozenset[str] = frozenset()
+    max_listings: int | None = None
+    allow_missing_price: bool = False
+
+    @classmethod
+    def parse(cls, instruction: str | None) -> "ExtractionRules | None":
+        if not instruction:
+            return None
+        skip: frozenset[str] = frozenset()
+        max_l: int | None = None
+        allow = False
+        for line in instruction.splitlines():
+            line = line.strip().lower()
+            if line.startswith("skip fields:"):
+                skip = frozenset(
+                    f.strip() for f in line.split(":", 1)[1].split(",") if f.strip()
+                )
+            elif line.startswith("max listings:"):
+                try:
+                    max_l = int(line.split(":", 1)[1].strip())
+                except ValueError:
+                    pass
+            elif line == "allow missing price":
+                allow = True
+        return cls(skip_fields=skip, max_listings=max_l, allow_missing_price=allow)
+
+
 def _stable_idx(s: str, n: int) -> int:
     # deterministic, process-independent (no PYTHONHASHSEED dependence)
     acc = 0
@@ -86,7 +137,11 @@ def _stable_idx(s: str, n: int) -> int:
     return acc % n
 
 
-def extract_listings(markdown: str, field_names: list[str]) -> list[dict[str, str]]:
+def extract_listings(
+    markdown: str,
+    field_names: list[str],
+    rules: ExtractionRules | None = None,
+) -> list[dict[str, str]]:
     """Deterministic stand-in for the LLM extraction of one page.
 
     Semantics (a pure function of the markdown, as an idealized
@@ -105,17 +160,27 @@ def extract_listings(markdown: str, field_names: list[str]) -> list[dict[str, st
     """
     price_m = _PRICE_RE.search(markdown)
     if price_m is None:
-        return []
-    price = price_m.group(1)
+        if not (rules and rules.allow_missing_price):
+            return []
+        price = ""
+    else:
+        price = price_m.group(1)
     heading = markdown.split("\n", 1)[0].lstrip("# ").strip()
     captions = _CAPTION_RE.findall(markdown)
     words = _WORD_RE.findall(markdown) or ["000"]
     items = captions or [heading]
+    if price_m is None:  # allow-missing-price: one page-level listing
+        items = [heading]
+    if rules and rules.max_listings is not None:
+        items = items[: rules.max_listings]
+    skip = rules.skip_fields if rules else frozenset()
     out = []
     for item in items:
         row: dict[str, str] = {}
         for f in field_names:
             lf = f.lower()
+            if lf in skip:
+                continue
             if "pric" in lf or "cost" in lf:  # price / pricing / prices
                 row[f] = price
             elif "model" in lf or "title" in lf or "name" in lf:
@@ -131,6 +196,7 @@ def extract_structured(
     field_names: list[str] | tuple[str, ...],
     markdown_col: str = "markdown",
     skip_col: str | None = None,
+    instruction: str | None = None,
 ) -> DataFrame:
     """The format_data stage boundary as one Arrow-batched mapInPandas.
 
@@ -143,6 +209,7 @@ def extract_structured(
     """
     fields = list(field_names)
     fields_schema(fields)  # validate
+    rules = ExtractionRules.parse(instruction)  # parsed once, driver-side
     out_schema = T.StructType(list(pages.schema.fields) + EXTRACT_RESULT_FIELDS)
 
     def _extract(iterator):
@@ -160,7 +227,7 @@ def extract_structured(
                     costs.append(0.0)
                     continue
                 try:
-                    found = extract_listings(md, fields)
+                    found = extract_listings(md, fields, rules)
                 except Exception as e:  # ARC-001: carry, never crash the task
                     errors.append(f"LLM extraction failed: {e}")
                     listings.append(None)

@@ -488,6 +488,7 @@ class CrawlEngine:
                 cfg.extract_fields,
                 markdown_col="_md_llm",
                 skip_col="prior_file_refs",
+                instruction=cfg.extraction_prompt,
             ).drop("_md_llm")
         else:
             outcome_src = (

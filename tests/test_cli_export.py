@@ -116,3 +116,57 @@ def test_cli_queue_roundtrip(spark, crawled, capsys):
             (json.loads(x) for x in capsys.readouterr().out.splitlines())}
     assert set(stat) == {"queued", "active", "completed", "error"}
     assert stat["completed"] > 0
+
+
+def test_cli_llm_validation_and_display(spark, tmp_path, capsys):
+    """CLI: pre-crawl option validation (exit 2, no crawl), plus
+    --extraction-prompt / --display-output / --silent / --cleanup."""
+    from par_scrape_spark.__main__ import main
+
+    wh = str(tmp_path / "wh")
+    # invalid combos fail fast, before any crawl artifacts exist
+    assert (
+        main(
+            ["scrape", "http://site-00001.example", "--warehouse", wh,
+             "--output-format", "json", "--fields", "Title",
+             "--ai-provider", "bogus"]
+        )
+        == 2
+    )
+    assert (
+        main(
+            ["scrape", "http://site-00001.example", "--warehouse", wh,
+             "--output-format", "json"]
+        )
+        == 2
+    )
+    assert (
+        main(
+            ["scrape", "http://site-00001.example", "--warehouse", wh,
+             "--output-format", "json", "--fields", "Title",
+             "--display-output", "md"]
+        )
+        == 2
+    )  # display format not among output formats
+    assert not os.path.isdir(wh)
+    capsys.readouterr()
+
+    prompt = tmp_path / "prompt.md"
+    prompt.write_text("max listings: 1\n", encoding="utf-8")
+    rc = main(
+        ["scrape", "http://site-00001.example", "--warehouse", wh,
+         "--run-name", "disp", "--fields", "Title", "Price",
+         "--output-format", "md", "csv", "--display-output", "md",
+         "--extraction-prompt", str(prompt), "--silent",
+         "--cleanup", "after"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    # --silent suppresses the json status lines; --display-output still
+    # renders the extracted markdown table
+    assert '"supersteps"' not in out
+    assert "| Title" in out and "| Price" in out
+    # max listings: 1 -> header + separator + exactly one listing row
+    assert out.count("\n|") == 2
+    # --cleanup after removed the export dir
+    assert not os.path.isdir(os.path.join(wh, "export-disp"))

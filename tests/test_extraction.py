@@ -124,3 +124,45 @@ def test_crawl_with_extraction_end_to_end(spark, tmp_path):
     lin = eng.lineage.read(state["snapshots"]["lineage"])
     assert lin.agg(F.sum("cost")).first()[0] > 0
     assert lin.agg(F.sum("seen_card_est")).first()[0] > 0
+
+
+def test_extraction_rules_parse_and_apply():
+    """--extraction-prompt directives deterministically change extractor
+    behavior (VERDICT r2 what's-missing #1)."""
+    from par_scrape_spark.operators.extraction import ExtractionRules
+
+    assert ExtractionRules.parse(None) is None
+    assert ExtractionRules.parse("") is None
+    r = ExtractionRules.parse(
+        "Extract items carefully.\nskip fields: color\nmax listings: 1\n"
+        "allow missing price\n"
+    )
+    assert r.skip_fields == frozenset({"color"})
+    assert r.max_listings == 1
+    assert r.allow_missing_price
+
+    md = "# Head\n![c1](x) ![c2](y) price 42 w001 w002"
+    base = extract_listings(md, ["Title", "Price", "Color"])
+    assert len(base) == 2 and "Color" in base[0]
+    ruled = extract_listings(md, ["Title", "Price", "Color"], r)
+    assert ruled == [{"Title": "c1", "Price": "42"}]
+    # allow-missing-price turns the no-signal page into one listing
+    nop = "# Bare page w003"
+    assert extract_listings(nop, ["Title", "Price"]) == []
+    assert extract_listings(nop, ["Title", "Price"], r) == [
+        {"Title": "Bare page w003", "Price": ""}
+    ]
+
+
+def test_extract_structured_honors_instruction(spark):
+    from par_scrape_spark.operators.extraction import extract_structured
+
+    df = spark.createDataFrame(
+        [("u1", "# H\n![c1](x) ![c2](y) price 7 w001")], ["url", "markdown"]
+    )
+    plain = extract_structured(df, ("Title",)).collect()[0]
+    capped = extract_structured(
+        df, ("Title",), instruction="max listings: 1"
+    ).collect()[0]
+    assert len(plain["listings"]) == 2
+    assert len(capped["listings"]) == 1

@@ -1,0 +1,139 @@
+"""LLM-option validation layer (reference validate_llm_options,
+runner.py:244-298 + api.py:49-80; tests/test_api.py:26-74 parity):
+invalid provider/format/key combinations fail BEFORE the crawl starts.
+No Spark needed — pure config validation."""
+
+import pytest
+
+from par_scrape_spark.llm_options import (
+    PROVIDER_DEFAULT_MODELS,
+    CrawlConfigError,
+    LlmProvider,
+    ProviderConfigError,
+    resolve_provider,
+    validate_llm_options,
+)
+
+
+def test_markdown_only_needs_nothing():
+    opts = validate_llm_options(output_formats=("md",))
+    assert not opts.needed
+    assert opts.provider is None
+
+
+def test_unknown_provider_raises():
+    with pytest.raises(ProviderConfigError, match="Unknown AI provider"):
+        validate_llm_options(
+            output_formats=("json",),
+            extract_fields=("Title",),
+            ai_provider="not_a_real_provider",
+        )
+
+
+def test_resolve_provider_case_insensitive():
+    assert resolve_provider("OpenAI") is LlmProvider.OPENAI
+    assert resolve_provider("anthropic") is LlmProvider.ANTHROPIC
+    with pytest.raises(ProviderConfigError):
+        resolve_provider("gpt")
+
+
+def test_llm_format_without_provider_raises():
+    with pytest.raises(CrawlConfigError, match="ai_provider is required"):
+        validate_llm_options(
+            output_formats=("json",), extract_fields=("Title",)
+        )
+
+
+def test_llm_format_without_fields_raises():
+    with pytest.raises(CrawlConfigError, match="fields are required"):
+        validate_llm_options(
+            output_formats=("csv",), ai_provider="synthetic"
+        )
+
+
+def test_missing_env_key_raises():
+    with pytest.raises(ProviderConfigError, match="OPENAI_API_KEY"):
+        validate_llm_options(
+            output_formats=("json",),
+            extract_fields=("Title",),
+            ai_provider="openai",
+            env={},
+        )
+
+
+def test_key_present_resolves_default_model():
+    opts = validate_llm_options(
+        output_formats=("json",),
+        extract_fields=("Title",),
+        ai_provider="openai",
+        env={"OPENAI_API_KEY": "sk-test"},
+    )
+    assert opts.needed
+    assert opts.provider is LlmProvider.OPENAI
+    assert opts.model == PROVIDER_DEFAULT_MODELS[LlmProvider.OPENAI]
+
+
+def test_keyless_providers_skip_env_check():
+    for name in ("synthetic", "ollama", "bedrock", "litellm"):
+        opts = validate_llm_options(
+            output_formats=("json",),
+            extract_fields=("Title",),
+            ai_provider=name,
+            env={},
+        )
+        assert opts.needed and opts.provider.value == name
+
+
+def test_prompt_cache_requires_anthropic():
+    with pytest.raises(ProviderConfigError, match="Anthropic"):
+        validate_llm_options(
+            output_formats=("json",),
+            extract_fields=("Title",),
+            ai_provider="openai",
+            prompt_cache=True,
+            env={"OPENAI_API_KEY": "sk-test"},
+        )
+    opts = validate_llm_options(
+        output_formats=("json",),
+        extract_fields=("Title",),
+        ai_provider="anthropic",
+        prompt_cache=True,
+        env={"ANTHROPIC_API_KEY": "sk-ant"},
+    )
+    assert opts.prompt_cache
+
+
+def test_fields_only_defaults_to_synthetic():
+    """Library-API compatibility: extraction fields without a provider
+    run the engine's deterministic extractor (no key required)."""
+    opts = validate_llm_options(extract_fields=("Title",), env={})
+    assert opts.needed
+    assert opts.provider is LlmProvider.SYNTHETIC
+
+
+def test_unknown_output_format_raises():
+    with pytest.raises(CrawlConfigError, match="unknown output format"):
+        validate_llm_options(output_formats=("parquetx",))
+
+
+def test_api_scrape_validates_before_crawl(tmp_path):
+    """api.scrape raises typed errors without touching Spark (spark=None
+    would explode if the crawl started)."""
+    from par_scrape_spark import api
+
+    with pytest.raises(ProviderConfigError):
+        api.scrape(
+            None,
+            "http://site-00001.example",
+            warehouse=str(tmp_path),
+            output_formats=("json",),
+            extract_fields=("Title",),
+            ai_provider="bogus",
+        )
+    with pytest.raises(CrawlConfigError):
+        api.scrape(
+            None,
+            "http://site-00001.example",
+            warehouse=str(tmp_path),
+            output_formats=("json",),
+        )
