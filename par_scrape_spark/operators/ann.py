@@ -163,21 +163,25 @@ def build_ann_index(
     re-derive the query-side bucketing with no stored state beyond the
     directory layout itself.
     """
+    import json
+    import os
+
     dim = int(
         embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
     )
     planes = hyperplanes(dim, n_planes, seed)
-    (
-        embeddings.select(
-            F.col(id_col),
-            F.col(vec_col),
-            lsh_bucket_col(vec_col, planes).alias("bucket"),
-        )
-        .repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(path)
+    indexed = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_col(vec_col, planes).alias("bucket"),
     )
+    indexed.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+    # persist the data schema (metastore-style): query-time reads skip
+    # the parquet footer inference job entirely
+    with open(os.path.join(path, "_SCHEMA.json"), "w") as f:
+        json.dump(indexed.drop("bucket").schema.jsonValue(), f)
     return path
 
 
@@ -235,10 +239,19 @@ def ann_cosine_topk_indexed(
     )
     cos = F.round(dot / (vnorm * F.lit(qnorm)), 6)
 
+    reader = spark.read
+    schema_file = os.path.join(index_path, "_SCHEMA.json")
+    if os.path.exists(schema_file):  # skip footer-inference (one job)
+        import json
+
+        from pyspark.sql import types as T
+
+        with open(schema_file) as f:
+            reader = reader.schema(T.StructType.fromJson(json.load(f)))
     if not probe_dirs:  # every probed bucket empty -> empty result
-        indexed = spark.read.parquet(index_path)
+        indexed = reader.parquet(index_path)
     else:
-        indexed = spark.read.option("basePath", index_path).parquet(*probe_dirs)
+        indexed = reader.option("basePath", index_path).parquet(*probe_dirs)
     return (
         indexed.filter(F.col("bucket").isin(probes))
         .select(
