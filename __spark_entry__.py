@@ -182,7 +182,11 @@ def q_w1_scheduler_pick(spark, sf_dir):
     the frontier/politeness-shaped projections."""
     from par_scrape_spark.operators.scheduler import select_batch
 
-    frontier = _frontier_shaped(spark, sf_dir)
+    # cached as the engine does: a superstep's frontier image is a
+    # cached/localCheckpointed frame, so select_batch's probe count,
+    # rank agg, and result job share one materialization instead of
+    # recomputing the scan->join->window chain three times
+    frontier = _frontier_shaped(spark, sf_dir).cache()
     politeness = _politeness_shaped(spark, sf_dir, W1_TICK)
     batch = select_batch(
         frontier, politeness, "r", W1_TICK, W1_BATCH, retries=3

@@ -80,10 +80,14 @@ def _bounded_broadcast(df: DataFrame, n_rows_upper: int, limit: int) -> DataFram
     Per-superstep discovery sets are unbounded at web scale (a link-dense
     superstep can discover millions of child URLs); forcing F.broadcast
     on them risks driver/executor OOM at 100x scale. Above the limit the
-    plain (shuffle) join plan is used instead — slower per superstep,
-    never fatal.
+    join degrades to a SHUFFLED HASH join with the bounded discovery set
+    as the build side (the ``shuffle_hash`` hint): both sides shuffle,
+    but the frontier — by far the larger side — is only streamed, never
+    sorted, unlike the planner's default sort-merge fallback. Slower per
+    superstep than a broadcast, never fatal, and per-partition build
+    maps stay delta-sized.
     """
-    return F.broadcast(df) if n_rows_upper <= limit else df
+    return F.broadcast(df) if n_rows_upper <= limit else df.hint("shuffle_hash")
 
 
 def _atomic_json(path: str, obj: dict) -> None:

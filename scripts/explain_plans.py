@@ -130,10 +130,11 @@ sections.append(
     (
         "Seen-set exact check ABOVE the broadcast guard",
         "The same J2 plan when the measured discovery-set count exceeds "
-        "CrawlConfig.broadcast_row_limit: _bounded_broadcast leaves the "
-        "join strategy to the planner, so there is NO forced "
-        "BroadcastExchange on the unbounded side — a link-dense superstep "
-        "degrades to a shuffle join instead of an executor OOM.",
+        "CrawlConfig.broadcast_row_limit: NO forced BroadcastExchange on "
+        "the unbounded side — a link-dense superstep degrades to a "
+        "SHUFFLED HASH join (shuffle_hash hint, build = the discovery "
+        "set) instead of an executor OOM; the frontier side is streamed, "
+        "never sorted (no SortMergeJoin).",
         survivors_big,
     )
 )
