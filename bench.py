@@ -180,6 +180,31 @@ def query_timings() -> dict[str, float]:
     )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.range(1000).selectExpr("sum(id)").collect()
+    # python-worker warmup: spawn all workers and pay the numpy/pandas
+    # import once, so query timings measure steady state (workers are
+    # reused across queries; the JVM warmup above does the same for
+    # codegen). Without this the first pandas-UDF query absorbs ~15s of
+    # one-off worker spawn that no steady-state deployment pays per query.
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("double")
+    def _warm(v):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        return v * 1.0
+
+    spark.range(CPUS * 64).repartition(CPUS * 2).select(
+        _warm(_F.col("id").cast("double"))
+    ).write.format("noop").mode("overwrite").save()
+    # scan warmup: touch every input table once (footer reads + OS page
+    # cache) so the first-positioned query doesn't absorb the one-off
+    # cold-scan cost the others never pay
+    for _t in ("events", "documents", "embeddings"):
+        _p = os.path.join(SF_DIR, f"{_t}.parquet")
+        if os.path.exists(_p):
+            spark.read.parquet(_p).write.format("noop").mode("overwrite").save()
     names = [
         "j1_politeness_join",
         "j2_seen_anti_join",
