@@ -660,6 +660,44 @@ def q_m_image_features(spark, sf_dir):
     ).orderBy("image_id")
 
 
+def q_t_doc_fingerprint(spark, sf_dir):
+    """Winnowing rolling-hash document fingerprints (functions/
+    fingerprint.py, Schleimer et al. SIGMOD'03): per-doc fingerprint
+    count, order-free set digest, and minimum fingerprint. The
+    brief-mandated "document fingerprinting (rolling hash)" operator —
+    C1's sha256 only catches byte-identical docs; winnowing's local
+    guarantee surfaces shared >=11-char passages. Oracle is a generated
+    literal (bit-for-bit stability, like simhash/minhash)."""
+    from par_scrape_spark.functions.fingerprint import fingerprint_udf
+    from par_scrape_spark.functions.text import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", fingerprint_udf(F.col("text")).alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.n_fp").alias("n_fp"),
+            F.col("f.fp_digest").alias("fp_digest"),
+            F.col("f.fp_min").alias("fp_min"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_d_fp_overlap(spark, sf_dir):
+    """Copied-passage candidate pairs via shared winnowing fingerprints
+    (fingerprint_overlap_pairs): the containment twin of the minhash
+    resemblance join — one shuffle, fingerprint buckets expand to pairs
+    with the same capped JVM higher-order shape as the LSH band join."""
+    from par_scrape_spark.functions.fingerprint import fingerprint_overlap_pairs
+    from par_scrape_spark.functions.text import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
+    return fingerprint_overlap_pairs(docs, min_shared=8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_status_counts": q_a1_status_counts,
     "a2_run_status_matrix": q_a2_run_status_matrix,
@@ -696,6 +734,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_ann_topk": q_s_ann_topk,
     "m_image_features": q_m_image_features,
     "a4_lineage_rollup": q_a4_lineage_rollup,
+    "t_doc_fingerprint": q_t_doc_fingerprint,
+    "d_fp_overlap": q_d_fp_overlap,
 }
 
 ORACLES: dict[str, str] = {

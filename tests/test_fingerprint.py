@@ -1,0 +1,86 @@
+"""Winnowing document fingerprints (functions/fingerprint.py): the
+local guarantee (shared substrings >= k+w-1 chars share a fingerprint),
+batch/scalar parity, and the overlap-pair join."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from par_scrape_spark.functions.fingerprint import (
+    K_GRAM,
+    WINDOW,
+    fingerprint_overlap_pairs,
+    fingerprint_udf,
+    winnow_fingerprints,
+)
+
+BODY = " ".join(f"token{i:04d}" for i in range(60))
+
+
+def test_deterministic_and_distinct():
+    a = winnow_fingerprints(BODY)
+    b = winnow_fingerprints(BODY)
+    assert np.array_equal(a, b)
+    assert len(np.unique(a)) == len(a) > 0
+    assert winnow_fingerprints("").size == 0
+    assert winnow_fingerprints(None).size == 0
+    # shorter than one gram -> no fingerprints
+    assert winnow_fingerprints("ab").size == 0
+    # >= k chars but < one full window -> the single minimum
+    short = "abcdefghi"
+    assert 1 <= winnow_fingerprints(short).size <= 2
+
+
+def test_winnowing_guarantee_shared_substring():
+    """Any shared substring of length >= k+w-1 must contribute at least
+    one identical fingerprint to both documents."""
+    shared = "x" * 0 + "the quick brown fox jumps over it"  # > k+w-1 chars
+    assert len(shared) >= K_GRAM + WINDOW - 1
+    d1 = "AAA " + shared + " BBB"
+    d2 = "unrelated prefix 123 " + shared + " and another suffix"
+    f1 = set(winnow_fingerprints(d1).tolist())
+    f2 = set(winnow_fingerprints(d2).tolist())
+    assert f1 & f2, "guarantee violated: no shared fingerprint"
+    # disjoint texts share (almost surely) nothing
+    f3 = set(winnow_fingerprints(" ".join(f"z{i}" for i in range(40))).tolist())
+    assert not (f1 & f3)
+
+
+def test_density():
+    """Winnowing keeps ~2/(w+1) of gram hashes — assert a sane band."""
+    fps = winnow_fingerprints(BODY)
+    n_grams = len(BODY.encode()) - K_GRAM + 1
+    assert 0.1 * n_grams < len(fps) < 0.6 * n_grams
+
+
+def test_udf_matches_scalar(spark):
+    texts = [BODY, "short", "", None, BODY + " tail"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["f"]["n_fp"], r["f"]["fp_digest"], r["f"]["fp_min"])
+        for r in df.select("doc_id", fingerprint_udf("text").alias("f")).collect()
+    }
+    from par_scrape_spark.functions.fingerprint import _digest
+
+    for i, t in enumerate(texts):
+        fps = winnow_fingerprints(t)
+        want_min = int(fps.min().view(np.int64)) if len(fps) else 0
+        assert got[i] == (len(fps), _digest(fps), want_min), i
+
+
+def test_overlap_pairs_finds_copied_passage(spark):
+    shared = "this exact passage was copied verbatim between documents"
+    rows = [
+        (1, "intro text " + shared + " outro one"),
+        (2, "totally different opening " + shared + " closing words"),
+        (3, " ".join(f"noise{i}" for i in range(50))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_fp"]
+        for r in fingerprint_overlap_pairs(docs, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all({a, b} == {1, 2} for a, b in pairs)
