@@ -114,6 +114,13 @@ def select_batch_with_count(
         pool = joined  # proven: the cut cannot trigger; skip the probe
     elif joined.limit(pool_size + 1).count() > pool_size:
         pool = joined.orderBy(*order).limit(pool_size)
+        if pool_size <= 100_000:
+            # the cut pool is small and feeds 2-3 downstream jobs (rank
+            # agg + result, +fallback rank); materialize it once instead
+            # of re-running TakeOrdered over the full eligible set per
+            # job. Guarded: a 25x-batch pool of a 100k-host batch is
+            # millions of rows — those stay lazy.
+            pool = pool.localCheckpoint(eager=True)
     else:
         pool = joined
 
