@@ -1,0 +1,33 @@
+"""Cluster launch entry point (north rule: ``spark-submit --py-files``).
+
+Usage on a cluster:
+
+    zip -r par_scrape_spark.zip par_scrape_spark
+    spark-submit \
+        --master spark://<host>:7077 \
+        --deploy-mode client \
+        --py-files par_scrape_spark.zip \
+        --conf spark.driver.memory=48g \
+        spark_submit_main.py \
+        scrape http://seed.example --warehouse /shared/wh \
+        --crawl-type domain --crawl-batch-size 100000
+
+The session is created FIRST from the spark-submit configuration
+(master, executor topology, memory — all owned by the submit command),
+so the engine's ``get_spark`` adopts the active session and only applies
+its runtime-settable SQL confs (shuffle partitions, Arrow, AQE,
+broadcast timeout); the CLI's ``--master`` flag is ignored under
+spark-submit. The warehouse path must be shared storage reachable from
+driver and executors (see operators/dedup.FilterStore for the
+object-store seam notes).
+"""
+
+import sys
+
+from pyspark.sql import SparkSession
+
+if __name__ == "__main__":
+    SparkSession.builder.appName("par_scrape_spark").getOrCreate()
+    from par_scrape_spark.__main__ import main
+
+    sys.exit(main(sys.argv[1:]))
