@@ -13,11 +13,13 @@ for containment/overlap detection at corpus scale (join on fingerprint,
 like the LSH band join) where whole-document hashes (C1) only catch
 byte-identical copies.
 
-Vectorized kernel (no per-char/row Python): UTF-8 bytes → uint8 array →
-8-byte sliding windows viewed as one uint64 lane each → splitmix64 mix
-→ per-window minima via a strided reshape — numpy end to end, one pass
-per Arrow batch with per-doc boundaries handled by offset masking, the
-same flat-array pattern as the minhash/simhash kernels.
+Vectorized kernel (no per-char/token Python): UTF-8 bytes → uint8 array
+→ 8-byte sliding windows assembled into one uint64 lane each →
+splitmix64 mix → per-window minima via a strided view — numpy end to
+end per document. The batch loop is per-DOC (one numpy kernel call per
+document, ~µs of overhead each), not per-char; flattening across doc
+boundaries like the minhash kernel would save only that per-call
+overhead since every inner op is already C.
 """
 
 from __future__ import annotations
