@@ -167,3 +167,57 @@ def test_stream_lang_windowed(spark, tmp_path):
     assert got[(0, "en")] == 2
     assert got[(0, "de")] == 1
     assert got[(10, "en")] == 1
+
+
+def test_stream_lang_windowed_append_closes_windows(spark, tmp_path):
+    """Append-mode contract: a window is emitted exactly once, after a
+    later batch advances the watermark past its end. Two files +
+    maxFilesPerTrigger=1 force two micro-batches; the second batch's
+    event (t0+120s) moves the watermark to t0+90s, closing the first
+    batch's windows."""
+    feed = str(tmp_path / "langs2")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    early = [
+        (t0 + datetime.timedelta(seconds=s), lang)
+        for s, lang in [(1, "en"), (2, "en"), (3, "de"), (12, "en")]
+    ]
+    spark.createDataFrame(early, schema).coalesce(1).write.mode("append").parquet(feed)
+    # second file written before the stream starts; admission control
+    # (maxFilesPerTrigger=1) still splits the two files into two batches
+    import time
+
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    spark.createDataFrame(
+        [(t0 + datetime.timedelta(seconds=120), "fr")], schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    out = (
+        stream_lang_windowed(stream)
+        .writeStream.format("memory")
+        .queryName("langwin_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    got = {
+        (r["win_start"].second, r["lang"]): r["n"]
+        for r in spark.sql("select * from langwin_append").collect()
+    }
+    # the first batch's windows are closed (watermark 120-30=90 > ends)
+    assert got.get((0, "en")) == 2
+    assert got.get((0, "de")) == 1
+    assert got.get((10, "en")) == 1
+    # the fr window (end 130 > watermark 90) is still open -> not emitted
+    assert (0, "fr") not in got and (120, "fr") not in got
