@@ -251,8 +251,8 @@ def main() -> None:
         runs.append(drain_throughput(high_cores, rnd))
     lows = [r for r in runs if r["cores"] == low_cores]
     highs = [r for r in runs if r["cores"] == high_cores]
-    med_low = statistics.median(r["urls_per_sec"] for r in lows)
-    med_high = statistics.median(r["urls_per_sec"] for r in highs)
+    med_low = round(statistics.median(r["urls_per_sec"] for r in lows), 1)
+    med_high = round(statistics.median(r["urls_per_sec"] for r in highs), 1)
     low = dict(min(lows, key=lambda r: abs(r["urls_per_sec"] - med_low)))
     high = dict(min(highs, key=lambda r: abs(r["urls_per_sec"] - med_high)))
     low["urls_per_sec"] = med_low
