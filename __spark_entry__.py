@@ -692,10 +692,13 @@ def q_d_fp_overlap(spark, sf_dir):
     from par_scrape_spark.functions.fingerprint import fingerprint_overlap_pairs
     from par_scrape_spark.functions.text import spread_small_input
 
-    docs = spread_small_input(_t(spark, sf_dir, "documents"))
-    return fingerprint_overlap_pairs(docs, min_shared=8).orderBy(
-        "doc_a", "doc_b"
-    )
+    raw = _t(spark, sf_dir, "documents")
+    docs = spread_small_input(raw)
+    # count the raw scan (parquet metadata, no UDF work) so the operator
+    # doesn't recompute the spread plan just to size df_cap (ADVICE r3)
+    return fingerprint_overlap_pairs(
+        docs, min_shared=8, n_docs=raw.count()
+    ).orderBy("doc_a", "doc_b")
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -11,6 +11,31 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from pathlib import Path
+
+
+def _remove_run_output(out_dir: str, run_name: str, silent: bool) -> None:
+    """--cleanup target removal with the reference's safety guards
+    (reference runner.py:232-241 _remove_run_output): resolve the path,
+    refuse home, "/", and any directory whose final component doesn't
+    carry the run name — so ``--cleanup before --output-dir
+    <pre-existing-dir>`` can never delete an arbitrary tree (ADVICE r3)."""
+    import shutil
+
+    target = Path(out_dir).resolve()
+    if not target.is_dir():
+        return
+    if (
+        target in (Path.home().resolve(), Path("/").resolve())
+        or run_name not in target.name
+    ):
+        print(
+            f"Refusing to remove suspicious path: {target}", file=sys.stderr
+        )
+        return
+    shutil.rmtree(target)
+    if not silent:
+        print(json.dumps({"removed": str(target)}))
 
 
 def _add_scrape(sub: argparse._SubParsersAction) -> None:
@@ -134,6 +159,16 @@ def main(argv: list[str] | None = None) -> int:
         except ParScrapeError as e:
             print(str(e), file=sys.stderr)
             return 2
+        if args.output_format and not args.fields:
+            # non-LLM formats (md) also export the extraction table, so
+            # every --output-format needs --fields; without this guard
+            # the export path reads a run that produced no extraction
+            # snapshot and silently writes an empty table (ADVICE r3)
+            print(
+                "--output-format requires --fields (nothing to extract).",
+                file=sys.stderr,
+            )
+            return 2
         if args.display_output and args.display_output not in args.output_format:
             print(
                 f"Display output format '{args.display_output}' is not in "
@@ -161,7 +196,6 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
     )
     if args.cmd == "scrape":
-        import shutil
 
         def _say(obj) -> None:
             if not args.silent:
@@ -169,7 +203,7 @@ def main(argv: list[str] | None = None) -> int:
 
         out_dir = args.output_dir or f"{args.warehouse}/export-{args.run_name}"
         if args.cleanup in ("before", "both"):
-            shutil.rmtree(out_dir, ignore_errors=True)
+            _remove_run_output(out_dir, args.run_name, args.silent)
         result = api.scrape(
             spark,
             list(args.url),
@@ -206,7 +240,17 @@ def main(argv: list[str] | None = None) -> int:
             eng = _engine(spark, args, result.run_name)
             with open(eng.state_path) as f:
                 pins = json.load(f)["snapshots"]
-            ext = eng.extraction.read(pins.get("extraction")).filter(
+            if pins.get("extraction") is None:
+                # never fall back to an unpinned LATEST read in a shared
+                # warehouse (ADVICE r3): a run with no extraction
+                # snapshot has nothing of its own to export
+                print(
+                    f"Run {result.run_name} produced no extraction table; "
+                    "skipping export.",
+                    file=sys.stderr,
+                )
+                return 1
+            ext = eng.extraction.read(pins["extraction"]).filter(
                 F.col("run") == result.run_name
             )
             paths = api.export_extraction(
@@ -218,7 +262,7 @@ def main(argv: list[str] | None = None) -> int:
                 # table to the terminal in the chosen format
                 print(api.render_extraction(ext, tuple(args.fields), args.display_output))
         if args.cleanup in ("after", "both"):
-            shutil.rmtree(out_dir, ignore_errors=True)
+            _remove_run_output(out_dir, args.run_name, args.silent)
         return 0 if result.ok else 1
 
     # queue subcommands

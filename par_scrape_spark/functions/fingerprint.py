@@ -110,6 +110,7 @@ def fingerprint_overlap_pairs(
     id_col: str = "doc_id",
     min_shared: int = 2,
     max_df: float = 0.05,
+    n_docs: int | None = None,
 ):
     """Containment-candidate pairs: docs sharing ≥ ``min_shared``
     winnowing fingerprints. Same one-shuffle group→pair-expansion shape
@@ -122,7 +123,13 @@ def fingerprint_overlap_pairs(
     blocks) and are dropped before pairing — the semantic twin of the
     LSH bucket-size cap. Without it a templated corpus pairs nearly
     every document with every other (measured: 500 synthetic docs →
-    103k "overlapping" pairs, all boilerplate)."""
+    103k "overlapping" pairs, all boilerplate).
+
+    ``n_docs``: corpus size used to turn ``max_df`` into an absolute
+    bucket cap. When omitted this function triggers a Spark job
+    (``docs.count()``) at construction time, which recomputes an
+    uncached upstream plan (ADVICE r3) — callers that already know the
+    count should pass it."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _fps(texts: pd.Series) -> pd.Series:
@@ -145,7 +152,8 @@ def fingerprint_overlap_pairs(
             )
         )
     )
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()
     df_cap = max(int(n_docs * max_df), min(n_docs, 2))
     buckets = (
         fps.groupBy("fp")

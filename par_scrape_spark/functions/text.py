@@ -603,9 +603,17 @@ def _lang_id_batch(texts: pd.Series) -> list[str]:
         stack[:, 0] = _alpha_mask(cp)
         stack[:, 1] = (cp >= 0x4E00) & (cp <= 0x9FFF)
         stack[:, 2] = (cp >= 0x0400) & (cp <= 0x04FF)
-        starts = np.minimum(offsets[:-1], len(cp) - 1)
-        sums = np.add.reduceat(stack, starts, axis=0).astype(np.int64)
-        sums[lens == 0] = 0  # reduceat's empty-segment quirk
+        # reduceat only over starts of NON-empty docs: empty docs
+        # contribute nothing, and clamping a trailing empty doc's start
+        # (== len(cp)) back to len(cp)-1 would steal the preceding
+        # doc's final codepoint from its segment (ADVICE r3 #1).
+        # Consecutive non-empty starts are strictly increasing and the
+        # empty docs between them have zero width, so each segment is
+        # exactly one doc.
+        nonempty = np.flatnonzero(lens > 0)
+        seg = np.add.reduceat(stack, offsets[:-1][nonempty], axis=0)
+        sums = np.zeros((n, 3), dtype=np.int64)
+        sums[nonempty] = seg.astype(np.int64)
         n_alpha, n_cjk, n_cyr = sums[:, 0], sums[:, 1], sums[:, 2]
     else:
         n_alpha = n_cjk = n_cyr = np.zeros(n, dtype=np.int64)

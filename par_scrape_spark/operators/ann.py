@@ -42,6 +42,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FileSystem API, so
+    index-directory probing and the schema sidecar work identically on
+    local disk, HDFS and object stores (ADVICE r3: driver-local
+    ``os.path`` silently fell back to a full-index scan off-POSIX)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_read_text(spark, path: str) -> str | None:
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
+def _fs_write_text(spark, path: str, text: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def _splitmix(x: np.ndarray) -> np.ndarray:
     x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
     x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
@@ -164,11 +194,14 @@ def build_ann_index(
     directory layout itself.
     """
     import json
-    import os
 
-    dim = int(
-        embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
-    )
+    head = embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not head:
+        raise ValueError(
+            "build_ann_index: embeddings table is empty — nothing to index "
+            f"(id_col={id_col!r}, vec_col={vec_col!r})"
+        )
+    dim = int(head[0]["d"])
     planes = hyperplanes(dim, n_planes, seed)
     indexed = embeddings.select(
         F.col(id_col),
@@ -179,9 +212,13 @@ def build_ann_index(
         "bucket"
     ).parquet(path)
     # persist the data schema (metastore-style): query-time reads skip
-    # the parquet footer inference job entirely
-    with open(os.path.join(path, "_SCHEMA.json"), "w") as f:
-        json.dump(indexed.drop("bucket").schema.jsonValue(), f)
+    # the parquet footer inference job entirely. Hadoop FS write so the
+    # sidecar lands next to the data on any filesystem.
+    _fs_write_text(
+        embeddings.sparkSession,
+        path.rstrip("/") + "/_SCHEMA.json",
+        json.dumps(indexed.drop("bucket").schema.jsonValue()),
+    )
     return path
 
 
@@ -217,12 +254,13 @@ def ann_cosine_topk_indexed(
     dim = len(qvec)
     planes = hyperplanes(dim, n_planes, seed)
     probes = probe_buckets(query_bucket(qvec, planes), n_planes, max_hamming)
-    import os
-
+    fs, _ = _hadoop_fs(spark, index_path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    base = index_path.rstrip("/")
     probe_dirs = [
         d
-        for d in (os.path.join(index_path, f"bucket={b}") for b in probes)
-        if os.path.isdir(d)
+        for d in (f"{base}/bucket={b}" for b in probes)
+        if fs.isDirectory(jvm_path(d))
     ]
 
     qlits = F.array(*[F.lit(float(v)) for v in qvec])
@@ -240,14 +278,13 @@ def ann_cosine_topk_indexed(
     cos = F.round(dot / (vnorm * F.lit(qnorm)), 6)
 
     reader = spark.read
-    schema_file = os.path.join(index_path, "_SCHEMA.json")
-    if os.path.exists(schema_file):  # skip footer-inference (one job)
+    schema_text = _fs_read_text(spark, f"{base}/_SCHEMA.json")
+    if schema_text is not None:  # skip footer-inference (one job)
         import json
 
         from pyspark.sql import types as T
 
-        with open(schema_file) as f:
-            reader = reader.schema(T.StructType.fromJson(json.load(f)))
+        reader = reader.schema(T.StructType.fromJson(json.loads(schema_text)))
     if not probe_dirs:  # every probed bucket empty -> empty result
         indexed = reader.parquet(index_path)
     else:

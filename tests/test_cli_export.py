@@ -170,3 +170,40 @@ def test_cli_llm_validation_and_display(spark, tmp_path, capsys):
     assert out.count("\n|") == 2
     # --cleanup after removed the export dir
     assert not os.path.isdir(os.path.join(wh, "export-disp"))
+
+
+def test_cli_output_format_requires_fields(tmp_path):
+    """ADVICE r3: even non-LLM formats (md) must fail fast without
+    --fields instead of silently exporting an empty table."""
+    from par_scrape_spark.__main__ import main
+
+    wh = str(tmp_path / "wh")
+    assert (
+        main(
+            ["scrape", "http://site-00001.example", "--warehouse", wh,
+             "--output-format", "md"]
+        )
+        == 2
+    )
+    assert not os.path.isdir(wh)  # failed before any crawl work
+
+
+def test_cleanup_refuses_suspicious_path(tmp_path, capsys):
+    """ADVICE r3: --cleanup must never rmtree a pre-existing directory
+    that doesn't carry the run name (reference runner.py:232-241)."""
+    from par_scrape_spark.__main__ import _remove_run_output
+
+    victim = tmp_path / "precious-data"
+    victim.mkdir()
+    (victim / "keep.txt").write_text("do not delete", encoding="utf-8")
+    _remove_run_output(str(victim), "myrun", silent=False)
+    err = capsys.readouterr().err
+    assert "Refusing to remove suspicious path" in err
+    assert (victim / "keep.txt").exists()
+
+    # a dir that IS this run's export is removed
+    ok = tmp_path / "export-myrun"
+    ok.mkdir()
+    (ok / "out.json").write_text("{}", encoding="utf-8")
+    _remove_run_output(str(ok), "myrun", silent=True)
+    assert not ok.exists()

@@ -119,6 +119,9 @@ def test_lang_id_batch_equals_scalar():
         "x " * 3000,  # exercises the 2000-char truncation
         "zz qq ww",  # latin, zero stopword hits -> en tie-break
         "один two три the und",  # cyrillic below 0.3 -> latin path
+        "ab中",  # trailing-empty regression (ADVICE r3): last doc's final
+        "",  #     codepoint must stay in its own reduceat segment
+        None,
     ]
     batch = _lang_id_batch(pd.Series(texts, dtype=object))
     for t, got in zip(texts, batch):
