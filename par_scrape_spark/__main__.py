@@ -69,6 +69,46 @@ def _add_scrape(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--output-dir", default=None)
     # LLM option surface (reference __main__.py:139-214); execution is
     # sandbox-mooted but validation runs before the crawl starts
+    # browser-fetch surface (reference __main__.py:101-160); consumed by
+    # the fetch UDF contract (FetchOptions), validated pre-Spark
+    p.add_argument(
+        "--scraper",
+        default="playwright",
+        type=str.lower,
+        choices=["playwright", "selenium"],
+        help="browser-fetch backend (reference -s)",
+    )
+    p.add_argument(
+        "--headless",
+        action="store_true",
+        help="run the browser headless (reference -h; Selenium)",
+    )
+    p.add_argument(
+        "--wait-type",
+        default="sleep",
+        type=str.lower,
+        choices=["none", "pause", "sleep", "idle", "selector", "text"],
+        help="page-load wait strategy (reference -w)",
+    )
+    p.add_argument(
+        "--wait-selector",
+        default=None,
+        help="selector/text marker for --wait-type selector|text "
+        "(reference -i)",
+    )
+    p.add_argument(
+        "--sleep-time",
+        type=int,
+        default=2,
+        help="seconds to wait before scrolling (reference -t)",
+    )
+    p.add_argument(
+        "--scrape-max-parallel",
+        type=int,
+        default=1,
+        help="per-partition async fetch fan-out hint (reference -P; "
+        "cross-page parallelism in Spark is the batch's task count)",
+    )
     p.add_argument(
         "--ai-provider",
         default="synthetic",
@@ -76,6 +116,24 @@ def _add_scrape(sub: argparse._SubParsersAction) -> None:
         "the engine's deterministic extractor)",
     )
     p.add_argument("--model", default=None, help="model name (reference -m)")
+    p.add_argument(
+        "--ai-base-url",
+        default=None,
+        help="override the AI provider's base URL (reference -b)",
+    )
+    p.add_argument(
+        "--pricing",
+        default="details",
+        type=str.lower,
+        choices=["none", "price", "details"],
+        help="end-of-run cost summary verbosity (reference -p)",
+    )
+    p.add_argument(
+        "--env-file",
+        default=None,
+        help="load environment variables from this file; values already "
+        "set in the environment take precedence (reference --env-file)",
+    )
     p.add_argument("--prompt-cache", action="store_true")
     p.add_argument(
         "--reasoning-effort", default=None, choices=["low", "medium", "high"]
@@ -116,8 +174,38 @@ def _add_queue(sub: argparse._SubParsersAction) -> None:
         qp.add_argument("--warehouse", required=True)
 
 
+def _load_env_file(path: str) -> int:
+    """--env-file loading (reference __main__.py:294-298 + SEC-002):
+    ``KEY=VALUE`` lines, ``#`` comments; values already set in the
+    process environment take precedence (load_dotenv override=False
+    semantics). Returns the number of variables applied."""
+    import os
+
+    applied = 0
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            key = key.strip()
+            value = value.strip().strip("'\"")
+            if key and key not in os.environ:
+                os.environ[key] = value
+                applied += 1
+    return applied
+
+
 def build_parser() -> argparse.ArgumentParser:
+    from par_scrape_spark import __version__
+
     ap = argparse.ArgumentParser(prog="par_scrape_spark")
+    ap.add_argument(
+        "--version",
+        "-v",
+        action="version",
+        version=f"par_scrape_spark: {__version__}",
+    )
     ap.add_argument("--master", default="local[*]")
     ap.add_argument("--shuffle-partitions", type=int, default=32)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -141,13 +229,23 @@ def main(argv: list[str] | None = None) -> int:
     from par_scrape_spark.config import CrawlType
 
     if args.cmd == "scrape":
+        # --env-file first: provider keys may come from it, and the
+        # key-presence validation below reads the environment (reference
+        # __main__.py:294-298: missing file is a hard exit; existing env
+        # values take precedence over file values)
+        if args.env_file:
+            if not Path(args.env_file).is_file():
+                print(f"Env file not found: {args.env_file}", file=sys.stderr)
+                return 1
+            _load_env_file(args.env_file)
         # pre-crawl validation — invalid option combinations must fail
         # BEFORE any Spark/crawl work starts (reference
         # runner.py:244-298, __main__.py:334-338)
+        from par_scrape_spark.config import FetchOptions
         from par_scrape_spark.llm_options import ParScrapeError, validate_llm_options
 
         try:
-            validate_llm_options(
+            llm_opts = validate_llm_options(
                 output_formats=tuple(args.output_format),
                 extract_fields=tuple(args.fields),
                 ai_provider=args.ai_provider,
@@ -155,8 +253,17 @@ def main(argv: list[str] | None = None) -> int:
                 prompt_cache=args.prompt_cache,
                 reasoning_effort=args.reasoning_effort,
                 reasoning_budget=args.reasoning_budget,
+                ai_base_url=args.ai_base_url,
             )
-        except ParScrapeError as e:
+            FetchOptions(
+                scraper=args.scraper,
+                headless=args.headless,
+                wait_type=args.wait_type,
+                wait_selector=args.wait_selector,
+                sleep_time=args.sleep_time,
+                scrape_max_parallel=args.scrape_max_parallel,
+            )
+        except (ParScrapeError, ValueError) as e:
             print(str(e), file=sys.stderr)
             return 2
         if args.output_format and not args.fields:
@@ -222,6 +329,14 @@ def main(argv: list[str] | None = None) -> int:
             if_changed=args.if_changed,
             extract_fields=tuple(args.fields),
             extraction_prompt=extraction_prompt,
+            ai_provider=args.ai_provider if args.fields else None,
+            model=args.model,
+            ai_base_url=args.ai_base_url,
+            scraper=args.scraper,
+            headless=args.headless,
+            wait_type=args.wait_type,
+            wait_selector=args.wait_selector,
+            sleep_time=args.sleep_time,
         )
         _say(
             {
@@ -231,6 +346,28 @@ def main(argv: list[str] | None = None) -> int:
                 "pages": {p.url: p.status for p in result.pages},
             }
         )
+        if args.pricing != "none" and llm_opts.needed and not args.silent:
+            # --pricing rollup (reference runner.py:781-785 show_llm_cost
+            # grand total): the run's accumulated cost column (A5) grouped
+            # by the resolved provider/model. 'price' prints the total
+            # only; 'details' the per-model row.
+            from par_scrape_spark.operators import stats as _stats
+
+            eng = _engine(spark, args, result.run_name)
+            with open(eng.state_path) as f:
+                fr_pin = json.load(f)["snapshots"].get("frontier")
+            row = _stats.cost_summary(
+                eng.frontier.read(fr_pin),
+                result.run_name,
+                provider=llm_opts.provider.value,
+                model=llm_opts.model,
+            ).collect()[0]
+            # silent mode suppresses the summary like the reference's
+            # quiet path (api.py:178: quiet -> PricingDisplay.NONE)
+            if args.pricing == "price":
+                _say({"pricing": {"total_cost": row["total_cost"]}})
+            else:
+                _say({"pricing": row.asDict()})
         if args.output_format:
             # export THIS run only, from its pinned snapshot: in a shared
             # warehouse LATEST may contain other runs' listings and

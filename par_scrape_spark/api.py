@@ -67,6 +67,13 @@ def scrape(
     ai_provider: str | None = None,
     model: str | None = None,
     prompt_cache: bool = False,
+    ai_base_url: str | None = None,
+    scraper: str = "playwright",
+    headless: bool = False,
+    wait_type: str = "sleep",
+    wait_selector: str | None = None,
+    sleep_time: float = 2.0,
+    scrape_max_parallel: int = 1,
     **extra,
 ) -> ScrapeResult:
     """Run a crawl and materialize its per-page results.
@@ -77,7 +84,8 @@ def scrape(
     BEFORE any crawl work starts (reference api.py:49-56,
     runner.py:244-298; tests/test_api.py:26-74 parity).
     """
-    from par_scrape_spark.llm_options import validate_llm_options
+    from par_scrape_spark.config import FetchOptions
+    from par_scrape_spark.llm_options import CrawlConfigError, validate_llm_options
 
     validate_llm_options(
         output_formats=output_formats,
@@ -85,7 +93,21 @@ def scrape(
         ai_provider=ai_provider,
         model=model,
         prompt_cache=prompt_cache,
+        ai_base_url=ai_base_url,
     )
+    try:
+        fetch_options = FetchOptions(
+            scraper=scraper,
+            headless=headless,
+            wait_type=wait_type,
+            wait_selector=wait_selector,
+            sleep_time=sleep_time,
+            scrape_max_parallel=scrape_max_parallel,
+        )
+    except ValueError as e:
+        # same pre-crawl fail-fast contract as the LLM options
+        # (reference __main__.py:101-160 enum/selector validation)
+        raise CrawlConfigError(str(e)) from e
     seeds = tuple([url] if isinstance(url, str) else url)
     cfg = CrawlConfig(
         run_name=run_name,
@@ -103,6 +125,7 @@ def scrape(
         prune=prune,
         extract_fields=tuple(extract_fields),
         extraction_prompt=extraction_prompt,
+        fetch_options=fetch_options,
         extra=extra,
     )
     engine = CrawlEngine(spark, cfg, warehouse)

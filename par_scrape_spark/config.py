@@ -22,6 +22,26 @@ class OutputFormat(str, Enum):
     EXCEL = "excel"
 
 
+class ScraperChoice(str, Enum):
+    """Browser-fetch backend (reference --scraper, __main__.py:101-109;
+    the public par-ai-core ScraperChoice surface)."""
+
+    PLAYWRIGHT = "playwright"
+    SELENIUM = "selenium"
+
+
+class ScraperWaitType(str, Enum):
+    """Page-load wait strategy (reference --wait-type, __main__.py:118-125;
+    the public par-ai-core ScraperWaitType surface)."""
+
+    NONE = "none"
+    PAUSE = "pause"
+    SLEEP = "sleep"
+    IDLE = "idle"
+    SELECTOR = "selector"
+    TEXT = "text"
+
+
 class CrawlType(str, Enum):
     """Crawl strategies (reference enums.py:24-30)."""
 
@@ -74,6 +94,60 @@ SEQ_PARENT_SHIFT = 16
 
 
 @dataclass(frozen=True)
+class FetchOptions:
+    """Browser-fetch configuration carried into the fetch UDF.
+
+    Mirrors the reference's fetch_url contract (reference
+    runner.py:714-724 passes scraper/sleep_time/wait_type/wait_selector/
+    headless into every batch fetch; CLI surface __main__.py:101-160).
+    The sandbox's synthetic fetcher honors the *observable* semantics —
+    selector/text waits time out when the marker never appears in the
+    page, and ``simulate_latency`` stands in for the real browser's
+    per-page sleep — while a real deployment plugs a Playwright/Selenium
+    client into the same seam with nothing upstream changing.
+
+    ``simulate_latency`` is engine-only (no CLI flag): real browser
+    fetches pay the sleep inside the browser; the synthetic fetch only
+    sleeps when a test asks it to prove the batch parallelism contract
+    (reference tests/test_runner.py:184-231 shape).
+    """
+
+    scraper: ScraperChoice = ScraperChoice.PLAYWRIGHT
+    headless: bool = False
+    wait_type: ScraperWaitType = ScraperWaitType.SLEEP
+    wait_selector: str | None = None
+    sleep_time: float = 2.0
+    simulate_latency: bool = False
+    scrape_max_parallel: int = 1  # reference -P (__main__.py:113-117):
+    # per-WORKER fetch fan-out. In Spark, cross-page parallelism is the
+    # batch's partition count (tasks), so this is the per-partition
+    # async-client concurrency hint for a real HTTP/browser fetcher —
+    # the synthetic fetcher is CPU-bound per page and ignores it
+
+    def __post_init__(self) -> None:
+        # CLI-style validation (reference __main__.py:101-125: enum
+        # choices, case-insensitive) before any Spark work starts
+        if not isinstance(self.scraper, ScraperChoice):
+            object.__setattr__(
+                self, "scraper", ScraperChoice(str(self.scraper).lower())
+            )
+        if not isinstance(self.wait_type, ScraperWaitType):
+            object.__setattr__(
+                self, "wait_type", ScraperWaitType(str(self.wait_type).lower())
+            )
+        if self.wait_type in (ScraperWaitType.SELECTOR, ScraperWaitType.TEXT):
+            if not self.wait_selector:
+                raise ValueError(
+                    f"--wait-selector is required when --wait-type is "
+                    f"{self.wait_type.value!r}"
+                )
+        if self.sleep_time < 0:
+            raise ValueError("--sleep-time must be >= 0")
+        if self.scrape_max_parallel < 1:
+            raise ValueError("--scrape-max-parallel must be >= 1")
+
+
+@dataclass(frozen=True)
 class CrawlConfig:
     """Full option surface of one crawl run.
 
@@ -103,6 +177,9 @@ class CrawlConfig:
     extraction_prompt: str | None = None  # extraction instruction text
     # (reference --extraction-prompt file, __main__.py:214-216); parsed by
     # ExtractionRules — deterministically changes extractor behavior
+    fetch_options: FetchOptions = field(default_factory=FetchOptions)
+    # browser-fetch surface (reference __main__.py:101-160): plumbed into
+    # the fetch UDF's contract; see FetchOptions
     web_seed: int = 42  # synthetic web determinism seed
     num_buckets: int = 8  # host_salt buckets; 4096 at 10^10 design point
     bloom_capacity_per_bucket: int = 1 << 17

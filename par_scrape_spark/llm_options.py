@@ -104,6 +104,16 @@ PROVIDER_DEFAULT_MODELS = {
 LLM_FORMATS = frozenset({"json", "csv", "excel"})
 
 
+class PricingDisplay(str, Enum):
+    """End-of-run cost summary verbosity (reference --pricing,
+    __main__.py:205-207; the public par-ai-core PricingDisplay surface:
+    none = suppress, price = total only, details = per-model table)."""
+
+    NONE = "none"
+    PRICE = "price"
+    DETAILS = "details"
+
+
 def resolve_provider(name: str | LlmProvider) -> LlmProvider:
     """Case-insensitive provider lookup (reference api.py:70-80)."""
     if isinstance(name, LlmProvider):
@@ -129,6 +139,9 @@ class LlmOptions:
     prompt_cache: bool = False
     reasoning_effort: str | None = None
     reasoning_budget: int | None = None
+    ai_base_url: str | None = None  # custom OpenAI-compatible endpoint
+    # (reference --ai-base-url, __main__.py:138-146); carried to the
+    # provider client verbatim, no validation beyond presence
 
 
 def validate_llm_options(
@@ -139,6 +152,7 @@ def validate_llm_options(
     prompt_cache: bool = False,
     reasoning_effort: str | None = None,
     reasoning_budget: int | None = None,
+    ai_base_url: str | None = None,
     env: dict[str, str] | None = None,
 ) -> LlmOptions:
     """Validate the extraction/LLM option combination BEFORE the crawl
@@ -188,4 +202,5 @@ def validate_llm_options(
         prompt_cache=prompt_cache,
         reasoning_effort=reasoning_effort,
         reasoning_budget=reasoning_budget,
+        ai_base_url=ai_base_url,
     )

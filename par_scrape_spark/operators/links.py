@@ -36,6 +36,7 @@ from par_scrape_spark.config import (
     SEQ_PARENT_SHIFT,
     SEQ_SUPERSTEP_SHIFT,
     CrawlType,
+    FetchOptions,
 )
 from par_scrape_spark.functions.urls import host_salt_col, url_hash_col
 from par_scrape_spark.sources import synthetic_web
@@ -54,23 +55,33 @@ def fetch_extract(
     seed: int,
     crawl_type: CrawlType,
     seed_url_set: frozenset[str] | None = None,
+    options: "FetchOptions | None" = None,
 ) -> DataFrame:
     """Fetch every URL in the batch and extract links (one mapInPandas).
 
     ``seed_url_set`` implements the crawl-type gate F7: for
     ``single_level``, links are extracted only from seed pages
     (runner.py:489-491); ``single_page`` extracts none; ``domain``
-    always extracts.
+    always extracts. ``options`` is the browser-fetch contract
+    (reference runner.py:714-724: scraper/wait_type/wait_selector/
+    sleep_time/headless ride into every batch fetch); the synthetic
+    fetcher honors the observable wait semantics
+    (sources/synthetic_web.py:apply_wait).
     """
     out_schema = T.StructType(list(batch.schema.fields) + FETCH_RESULT_FIELDS)
     ctype = crawl_type.value
     seeds = seed_url_set or frozenset()
+    opts = options or FetchOptions()
 
     def _fetch(iterator):
         for pdf in iterator:
             errors, markdowns, hashes, links_col, n_images = [], [], [], [], []
             for url in pdf["url"]:
                 html, err = synthetic_web.fetch_page(url, seed)
+                if err is None:
+                    # wait-for-load is part of the fetch (a wait timeout
+                    # is a fetch-level error, like an unreachable host)
+                    err = synthetic_web.apply_wait(html, opts)
                 if err is not None:
                     errors.append(err)
                     markdowns.append(None)

@@ -60,6 +60,24 @@ def get_run_pages(frontier: DataFrame, run: str) -> DataFrame:
     )
 
 
+def get_url_depth(frontier: DataFrame, run: str, url: str) -> int:
+    """Public depth lookup (reference queue_db.py:490-509, re-exported
+    via the crawl shim): the stored BFS depth for a queued URL, 0 when
+    absent. The engine itself never needs this — depth rides the row
+    through the explode (operators/links.py child_candidates) — it
+    exists for reference-API parity. Matches on the reference's
+    trailing-slash-trimmed key (C5, queue_db.py:507)."""
+    rows = (
+        frontier.filter(
+            (F.col("run") == run) & (F.col("url") == url.rstrip("/"))
+        )
+        .select("depth")
+        .limit(1)
+        .collect()
+    )
+    return int(rows[0]["depth"]) if rows else 0
+
+
 def find_completed_by_hash(
     frontier: DataFrame, url: str, content_hash: str, exclude_run: str
 ) -> DataFrame:
@@ -138,3 +156,30 @@ def delete_run(frontier: DataFrame, run: str) -> DataFrame:
 def truncate_error(msg_col):
     """F15: bounded error payload."""
     return F.substring(msg_col, 1, ERROR_MESSAGE_MAX_LEN)
+
+
+def cost_summary(
+    frontier: DataFrame, run: str, provider: str, model: str
+) -> DataFrame:
+    """A5 surface for --pricing (reference runner.py:781-785 show_llm_cost
+    via the usage callback): roll the run's accumulated per-page ``cost``
+    column (A5, plans/crawl.py superstep rollup) into the end-of-run
+    summary, keyed by provider/model. One row per (provider, model) — a
+    run resolves exactly one of each, so the grouping is literal columns
+    over a single scalar agg (no shuffle beyond the partial-agg tree)."""
+    agg = frontier.filter(F.col("run") == run).agg(
+        F.count("*").alias("pages"),
+        F.sum(
+            F.when(F.coalesce(F.col("cost"), F.lit(0.0)) > 0, 1).otherwise(0)
+        ).alias("billed_pages"),
+        F.round(F.sum(F.coalesce(F.col("cost"), F.lit(0.0))), 9).alias(
+            "total_cost"
+        ),
+    )
+    return agg.select(
+        F.lit(provider).alias("provider"),
+        F.lit(model).alias("model"),
+        "pages",
+        "billed_pages",
+        "total_cost",
+    )

@@ -345,7 +345,9 @@ class CrawlEngine:
         # stale result columns from a prior attempt are recomputed by the
         # fetch; drop them so the UDF's outputs are unambiguous
         batch_in = selected.drop("content_hash")
-        fetched = fetch_extract(batch_in, cfg.web_seed, cfg.crawl_type, seed_set).cache()
+        fetched = fetch_extract(
+            batch_in, cfg.web_seed, cfg.crawl_type, seed_set, cfg.fetch_options
+        ).cache()
 
         # seq uses the global tick (not the per-run step) so queued_seq
         # stays a total order across runs sharing the warehouse

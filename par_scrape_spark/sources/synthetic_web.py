@@ -239,6 +239,36 @@ def fetch_page(url: str, seed: int) -> tuple[str | None, str | None]:
     return page_html(url, seed), None
 
 
+def apply_wait(html: str | None, options) -> str | None:
+    """Observable wait semantics of the browser fetch (reference
+    fetch_url contract, runner.py:714-724): returns an error message when
+    the configured wait cannot complete, else None.
+
+    - ``selector``/``text`` waits scan the fetched page for the marker; a
+      marker that never appears is a browser wait timeout (the real
+      Playwright/Selenium behavior), classified ``timeout`` downstream by
+      C8 ("timed out" substring, functions/errors.py).
+    - ``sleep`` waits pay ``sleep_time`` per page *inside the fetch* —
+      only when ``simulate_latency`` asks for it (the synthetic fetch has
+      no JS to wait on; the seam exists so the batch-parallelism contract
+      is testable, reference tests/test_runner.py:184-231 shape).
+    - ``none``/``pause``/``idle`` are no-ops here (nothing observable to
+      wait for in a pure-function page).
+    """
+    import time as _time
+
+    wt = getattr(options.wait_type, "value", options.wait_type)
+    if wt in ("selector", "text"):
+        if html is None or options.wait_selector not in html:
+            return (
+                f"Page load wait timed out: {wt} "
+                f"{options.wait_selector!r} never appeared"
+            )
+    elif wt == "sleep" and options.simulate_latency and options.sleep_time > 0:
+        _time.sleep(options.sleep_time)
+    return None
+
+
 def seed_urls(seed: int, n_hosts: int, hot_hosts: int = 0) -> list[str]:
     """Seed list for benches/tests: one root URL per synthetic host."""
     urls = [f"http://site-{i:05d}.example" for i in range(n_hosts)]

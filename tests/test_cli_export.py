@@ -172,6 +172,45 @@ def test_cli_llm_validation_and_display(spark, tmp_path, capsys):
     assert not os.path.isdir(os.path.join(wh, "export-disp"))
 
 
+def test_cli_pricing_summary(spark, tmp_path, capsys):
+    """--pricing rollup (VERDICT r3 #3, reference runner.py:781-785 +
+    __main__.py:205-207): the end-of-run summary renders from the
+    accumulated cost column and its total matches sum(cost) exactly."""
+    from pyspark.sql import functions as F
+
+    from par_scrape_spark.__main__ import main
+    from par_scrape_spark.plans.crawl import CrawlEngine
+
+    wh = str(tmp_path / "wh")
+    rc = main(
+        ["scrape", "http://site-00001.example", "--warehouse", wh,
+         "--run-name", "priced", "--fields", "Title", "Price",
+         "--pricing", "details"]
+    )
+    assert rc == 0
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.splitlines()
+        if line.startswith("{")
+    ]
+    pricing = [obj["pricing"] for obj in lines if "pricing" in obj]
+    assert pricing, "no pricing summary rendered"
+    p = pricing[0]
+    assert p["provider"] == "synthetic"
+    assert p["model"] == "deterministic-extractor-v1"
+    assert p["pages"] >= 1 and p["billed_pages"] >= 1
+
+    eng = CrawlEngine(spark, CrawlConfig(run_name="priced", seeds=()), wh)
+    total = (
+        eng.frontier.read()
+        .filter(F.col("run") == "priced")
+        .agg(F.round(F.sum(F.coalesce(F.col("cost"), F.lit(0.0))), 9).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert p["total_cost"] == total
+    assert p["total_cost"] > 0
+
+
 def test_cli_output_format_requires_fields(tmp_path):
     """ADVICE r3: even non-LLM formats (md) must fail fast without
     --fields instead of silently exporting an empty table."""

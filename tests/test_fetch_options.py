@@ -1,0 +1,257 @@
+"""Browser-fetch configuration surface (VERDICT r3 #2).
+
+The reference carries scraper/headless/wait_type/wait_selector/sleep_time
+from the CLI (reference __main__.py:101-160) into every batch fetch
+(runner.py:714-724). The engine's seam is ``FetchOptions`` →
+``fetch_extract``; these tests pin (a) the CLI/validation round-trip,
+(b) the observable wait semantics (selector/text waits time out when the
+marker never appears → C8-classified ``timeout``), and (c) the batch
+parallelism contract under per-page fetch latency (the reference's
+parallel-timing test shape, tests/test_runner.py:184-231).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from par_scrape_spark.config import (
+    CrawlConfig,
+    CrawlType,
+    FetchOptions,
+    ScraperChoice,
+    ScraperWaitType,
+)
+from par_scrape_spark.operators.links import fetch_extract
+
+
+# ------------------------------------------------------------ validation
+
+
+def test_defaults_match_reference():
+    o = FetchOptions()
+    assert o.scraper is ScraperChoice.PLAYWRIGHT
+    assert o.wait_type is ScraperWaitType.SLEEP
+    assert o.wait_selector is None
+    assert o.headless is False
+    assert o.sleep_time == 2.0
+
+
+def test_case_insensitive_enums():
+    o = FetchOptions(scraper="SELENIUM", wait_type="Idle")
+    assert o.scraper is ScraperChoice.SELENIUM
+    assert o.wait_type is ScraperWaitType.IDLE
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"scraper": "chrome"},
+        {"wait_type": "spin"},
+        {"wait_type": "selector"},  # selector wait needs a selector
+        {"wait_type": "text", "wait_selector": ""},
+        {"sleep_time": -1},
+        {"scrape_max_parallel": 0},
+    ],
+)
+def test_invalid_options_raise(kwargs):
+    with pytest.raises(ValueError):
+        FetchOptions(**kwargs)
+
+
+def test_crawl_config_carries_fetch_options():
+    opts = FetchOptions(wait_type="text", wait_selector="Content of")
+    cfg = CrawlConfig(run_name="r", seeds=(), fetch_options=opts)
+    assert cfg.fetch_options.wait_selector == "Content of"
+
+
+def test_api_scrape_rejects_invalid_fetch_options():
+    """api.scrape fails fast with a typed error BEFORE any crawl work
+    (same contract as the LLM options, reference runner.py:244-298)."""
+    from par_scrape_spark import api
+    from par_scrape_spark.llm_options import CrawlConfigError
+
+    with pytest.raises(CrawlConfigError, match="wait-selector"):
+        api.scrape(
+            None,  # never reached: validation precedes Spark use
+            "http://site-0.example",
+            warehouse="/nonexistent",
+            wait_type="selector",
+        )
+
+
+def test_cli_roundtrip_and_validation(tmp_path, capsys):
+    """CLI flags parse into the documented values; invalid combinations
+    exit 2 before any Spark session is created."""
+    from par_scrape_spark.__main__ import build_parser, main
+
+    args = build_parser().parse_args(
+        [
+            "scrape",
+            "http://x.example",
+            "--warehouse",
+            str(tmp_path),
+            "--scraper",
+            "SELENIUM",
+            "--headless",
+            "--wait-type",
+            "TEXT",
+            "--wait-selector",
+            "Content",
+            "--sleep-time",
+            "5",
+        ]
+    )
+    assert args.scraper == "selenium"
+    assert args.headless is True
+    assert args.wait_type == "text"
+    assert args.wait_selector == "Content"
+    assert args.sleep_time == 5
+
+    rc = main(
+        [
+            "scrape",
+            "http://x.example",
+            "--warehouse",
+            str(tmp_path),
+            "--wait-type",
+            "selector",
+        ]
+    )
+    assert rc == 2
+    assert "wait-selector" in capsys.readouterr().err
+
+
+def test_cli_version(capsys):
+    from par_scrape_spark import __version__
+    from par_scrape_spark.__main__ import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    assert __version__ in capsys.readouterr().out
+
+
+def test_cli_env_file(tmp_path, monkeypatch, capsys):
+    """--env-file: missing file exits 1; file values load but never
+    override values already in the environment (reference SEC-002)."""
+    import os
+
+    from par_scrape_spark.__main__ import _load_env_file, main
+
+    rc = main(
+        [
+            "scrape",
+            "http://x.example",
+            "--warehouse",
+            str(tmp_path),
+            "--env-file",
+            str(tmp_path / "nope.env"),
+        ]
+    )
+    assert rc == 1
+    assert "Env file not found" in capsys.readouterr().err
+
+    envf = tmp_path / "t.env"
+    envf.write_text(
+        "# comment\nPSS_TEST_NEW=hello\nPSS_TEST_SET=file-value\n"
+        'PSS_TEST_QUOTED="quoted"\n'
+    )
+    monkeypatch.setenv("PSS_TEST_SET", "env-wins")
+    monkeypatch.delenv("PSS_TEST_NEW", raising=False)
+    monkeypatch.delenv("PSS_TEST_QUOTED", raising=False)
+    applied = _load_env_file(str(envf))
+    assert applied == 2
+    assert os.environ["PSS_TEST_NEW"] == "hello"
+    assert os.environ["PSS_TEST_SET"] == "env-wins"
+    assert os.environ["PSS_TEST_QUOTED"] == "quoted"
+
+
+# ------------------------------------------------- wait semantics (Spark)
+
+
+def _batch(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], ["url"])
+
+
+def test_text_wait_present_marker_succeeds(spark):
+    """A marker every normal synthetic page carries ('Content of',
+    sources/synthetic_web.py:page_text) waits successfully."""
+    urls = [f"http://site-00001.example/page/{i}" for i in range(6)]
+    opts = FetchOptions(wait_type="text", wait_selector="Content of")
+    rows = fetch_extract(
+        _batch(spark, urls), 42, CrawlType.SINGLE_PAGE, options=opts
+    ).collect()
+    # crash/empty pages are the synthetic web's own error branches; every
+    # OTHER page must fetch cleanly through the wait
+    for r in rows:
+        if r["fetch_error"] is not None:
+            assert "never appeared" in r["fetch_error"] or r["markdown"] is None
+
+
+def test_selector_wait_absent_marker_times_out(spark):
+    urls = [f"http://site-00001.example/page/{i}" for i in range(4)]
+    opts = FetchOptions(wait_type="selector", wait_selector="#never-there-xyz")
+    rows = fetch_extract(
+        _batch(spark, urls), 42, CrawlType.SINGLE_PAGE, options=opts
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["fetch_error"] is not None
+        assert "timed out" in r["fetch_error"].lower()
+        assert r["markdown"] is None
+
+
+def test_wait_timeout_classifies_as_timeout(spark):
+    """C8 cascade maps the wait-timeout message to error_type=timeout."""
+    from pyspark.sql import functions as F
+
+    from par_scrape_spark.functions.errors import classify_error_col
+    from par_scrape_spark.sources.synthetic_web import apply_wait
+
+    msg = apply_wait("<html></html>", FetchOptions(wait_type="text", wait_selector="X"))
+    df = spark.createDataFrame([(msg,)], ["m"]).select(
+        classify_error_col(F.col("m")).alias("t")
+    )
+    assert df.collect()[0]["t"] == "timeout"
+
+
+def test_e2e_selector_wait_marks_pages_timeout(spark, tmp_path):
+    """Full-engine pass: the option rides CrawlConfig into the fetch UDF
+    and the run's pages surface as timeout errors."""
+    from par_scrape_spark import api
+
+    result = api.scrape(
+        spark,
+        "http://site-00042.example",
+        run_name="waittimeout",
+        warehouse=str(tmp_path / "wh"),
+        crawl_type="single_page",
+        scrape_retries=1,
+        wait_type="selector",
+        wait_selector="#never-there",
+    )
+    assert not result.ok
+    assert all(p.status == "error" for p in result.pages)
+    assert all(p.error_type == "timeout" for p in result.pages)
+
+
+# ------------------------------------------- batch parallelism contract
+
+
+def test_fetch_latency_paid_in_parallel(spark):
+    """The reference's ENH-001 parallel-timing shape
+    (tests/test_runner.py:184-231): 8 pages through a 4-slot fetch tier
+    with a per-page sleep must take well under the serialized total —
+    in Spark, fetch parallelism IS the batch's partition count."""
+    urls = [f"http://site-00007.example/page/{i}" for i in range(8)]
+    sleep_s = 0.75
+    opts = FetchOptions(sleep_time=sleep_s, simulate_latency=True)
+    batch = _batch(spark, urls).repartition(4)
+    start = time.monotonic()
+    n = fetch_extract(batch, 42, CrawlType.SINGLE_PAGE, options=opts).count()
+    elapsed = time.monotonic() - start
+    assert n == 8
+    serial = len(urls) * sleep_s  # 6.0s if the sleeps serialized
+    assert elapsed < serial - 1.0, f"elapsed {elapsed:.2f}s was not parallel"
