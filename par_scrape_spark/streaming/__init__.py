@@ -3,3 +3,4 @@ from par_scrape_spark.streaming.ingest import (  # noqa: F401
     stream_lang_windowed,
     stream_quality_scores,
 )
+from par_scrape_spark.streaming.politeness import politeness_gate  # noqa: F401

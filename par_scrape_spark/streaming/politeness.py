@@ -1,0 +1,148 @@
+"""Stateful streaming per-host politeness (SURVEY §2.10's last row).
+
+The batch engine enforces politeness as a superstep-scoped join + pick
+(J1 + W1, operators/scheduler.py) against the ``politeness`` table. A
+continuously-fed crawl wants the same invariant — **never two fetches of
+one host inside its crawl_delay window, at most one in flight per
+scheduling round** — enforced incrementally, without re-reading the
+frontier every round. That is exactly Spark's keyed-state operator:
+``applyInPandasWithState`` keyed by host (reference semantics:
+domain_rate_limit rows, /root/reference/src/par_scrape/queue_db.py:
+238-244 + the one-per-host batch pick queue_db.py:404-428).
+
+Semantics per host, per state invocation (= per micro-batch containing
+the host, or a processing-time timeout tick):
+
+1. newly arrived request URLs append to a bounded FIFO in the host's
+   state (arrival order within a batch is made deterministic by sorting);
+2. if the host's ``next_allowed_at`` has passed, exactly ONE pending URL
+   is emitted (W1's one-per-host pick, streaming form) and
+   ``next_allowed_at`` advances by ``crawl_delay_ms``;
+3. if pending URLs remain, a processing-time timeout of
+   ``crawl_delay_ms`` is registered so the backlog drains on schedule
+   even when no new data arrives for the host.
+
+A host's second fetch therefore ALWAYS lands in a later micro-batch /
+timeout tick than its first — the cross-batch deferral the batch
+superstep provides via its tick clock.
+
+Scale notes: state per host is O(min(backlog, max_pending)) URLs; the
+state store shards by the grouping key (host), so hot hosts don't skew
+executors beyond their own bounded queue — overflow beyond
+``max_pending`` is dropped and counted in the emitted ``dropped``
+column (the caller re-feeds from the durable frontier; state is a
+scheduling window, not the system of record, matching the batch
+engine's frontier-table-is-truth design).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("emit_round", T.IntegerType()),
+        T.StructField("pending_after", T.IntegerType()),
+        T.StructField("dropped", T.IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("next_allowed_at", T.LongType()),
+        T.StructField("emit_round", T.IntegerType()),
+        T.StructField("pending", T.ArrayType(T.StringType())),
+        T.StructField("dropped", T.IntegerType()),
+    ]
+)
+
+
+def politeness_gate(
+    requests: DataFrame,
+    crawl_delay_ms: int = 1000,
+    max_pending: int = 10_000,
+    host_col: str = "host",
+    url_col: str = "url",
+    clock_ms=None,
+) -> DataFrame:
+    """Gate a streaming fetch-request feed through per-host politeness.
+
+    ``requests`` is a streaming DataFrame carrying at least
+    ``(host, url)``. Returns the gated stream of emitted fetch slots —
+    one row per (host, scheduling round). ``clock_ms`` injects a clock
+    callable for tests (defaults to wall clock; the batch engine's
+    logical-tick determinism applies to the superstep path — the
+    streaming tier is processing-time by design, like every watermark).
+    """
+    clock = clock_ms or (lambda: int(time.time() * 1000))
+    delay = int(crawl_delay_ms)
+
+    def gate(
+        key: Tuple[str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        host = key[0]
+        if state.exists:
+            next_allowed, emit_round, pending, dropped = state.get
+            pending = list(pending)
+        else:
+            next_allowed, emit_round, pending, dropped = 0, 0, [], 0
+
+        if not state.hasTimedOut:
+            fresh: list[str] = []
+            for pdf in pdfs:
+                fresh.extend(pdf[url_col].tolist())
+            # deterministic intra-batch order; cross-batch order is FIFO
+            pending.extend(sorted(fresh))
+            if len(pending) > max_pending:
+                dropped += len(pending) - max_pending
+                del pending[max_pending:]
+
+        out_rows = []
+        now = clock()
+        if pending and now >= next_allowed:
+            url = pending.pop(0)
+            emit_round += 1
+            next_allowed = now + delay
+            out_rows.append(
+                {
+                    "host": host,
+                    "url": url,
+                    "emit_round": emit_round,
+                    "pending_after": len(pending),
+                    "dropped": dropped,
+                }
+            )
+
+        if not pending and state.hasTimedOut and now >= next_allowed:
+            # politeness window over and nothing queued: expire the
+            # host's state entirely — at 10^8 hosts the state store
+            # holds only hosts active within their own delay window,
+            # not every host ever seen
+            state.remove()
+        else:
+            state.update((next_allowed, emit_round, pending, dropped))
+            # wake on the politeness clock: drain the backlog even if no
+            # new rows arrive, or expire the emptied state next tick
+            state.setTimeoutDuration(max(delay, 1))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["host", "url", "emit_round", "pending_after", "dropped"],
+        )
+
+    return requests.groupBy(host_col).applyInPandasWithState(
+        gate,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,129 @@
+"""Stateful streaming politeness (streaming/politeness.py, VERDICT r3 #5):
+``applyInPandasWithState`` keyed by host enforcing crawl_delay and the
+one-fetch-per-host-per-round invariant across micro-batches."""
+
+import os
+import time
+
+from pyspark.sql import types as T
+
+from par_scrape_spark.streaming.politeness import politeness_gate
+
+REQ_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+
+def _run_gate(spark, tmp_path, batches, crawl_delay_ms, done):
+    """Feed each ``batches[i]`` (list of (host, url)) as its own
+    micro-batch (one parquet file per batch + maxFilesPerTrigger=1) and
+    collect (batch_id, rows) pairs from a foreachBatch sink. The query
+    is stopped once ``done(got)`` holds (a ProcessingTimeTimeout query
+    never self-terminates — clock-tick batches ARE its drain mechanism,
+    so termination is the caller's call)."""
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed, exist_ok=True)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, REQ_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    stream = (
+        spark.readStream.schema(REQ_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    gated = politeness_gate(stream, crawl_delay_ms=crawl_delay_ms)
+
+    got: list[tuple[int, list]] = []
+
+    def _sink(batch_df, batch_id):
+        got.append((batch_id, batch_df.collect()))
+
+    q = (
+        gated.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline and not done(got):
+        time.sleep(0.5)
+    met = done(got)
+    q.stop()
+    q.awaitTermination(60)
+    assert met, f"condition not met before deadline; sink got: {got}"
+    return got
+
+
+def test_second_fetch_deferred_to_next_batch(spark, tmp_path):
+    """Two same-host URLs in one micro-batch: exactly one is emitted in
+    that batch; the second is held in state and emitted in the NEXT
+    micro-batch (crawl_delay already elapsed). An independent host in
+    the same batch is unaffected."""
+    got = _run_gate(
+        spark,
+        tmp_path,
+        batches=[
+            [("a.example", "http://a.example/1"), ("a.example", "http://a.example/2"),
+             ("b.example", "http://b.example/1")],
+            [("a.example", "http://a.example/3")],
+        ],
+        crawl_delay_ms=1,  # delay elapses between batches; the deferral
+        # under test is the one-per-host-per-round pick + state carry
+        done=lambda got: any(
+            r["url"] == "http://a.example/3" for _, rows in got for r in rows
+        ),
+    )
+    emitted = {bid: {(r["host"], r["url"]) for r in rows} for bid, rows in got}
+    all_emitted = [r for _, rows in got for r in rows]
+
+    first = emitted.get(0, set())
+    assert ("a.example", "http://a.example/1") in first
+    assert ("b.example", "http://b.example/1") in first
+    # the same-host second URL did NOT go out in batch 0 ...
+    assert ("a.example", "http://a.example/2") not in first
+    # ... and DID go out in a later micro-batch, FIFO before url/3
+    a_order = [
+        r["url"] for r in sorted(
+            (r for r in all_emitted if r["host"] == "a.example"),
+            key=lambda r: r["emit_round"],
+        )
+    ]
+    assert a_order[:2] == ["http://a.example/1", "http://a.example/2"]
+    second_batch_urls = {r["url"] for bid, rows in got if bid >= 1 for r in rows}
+    assert "http://a.example/2" in second_batch_urls
+    # never two same-host emissions inside one micro-batch
+    for _, rows in got:
+        hosts = [r["host"] for r in rows]
+        assert len(hosts) == len(set(hosts))
+
+
+def test_crawl_delay_blocks_next_batch(spark, tmp_path):
+    """With a crawl_delay far longer than the run, the host's second
+    fetch is NOT emitted in the next batch — the time gate holds across
+    micro-batches, exactly one emission total."""
+    got = _run_gate(
+        spark,
+        tmp_path,
+        batches=[
+            [("a.example", "http://a.example/1"), ("a.example", "http://a.example/2")],
+            [("a.example", "http://a.example/3")],
+        ],
+        crawl_delay_ms=3_600_000,
+        # both files consumed (>= 2 data batches + a couple of clock
+        # ticks) and the first emission observed — then assert the
+        # second URL was still held back
+        done=lambda got: len(got) >= 4
+        and any(r["url"] == "http://a.example/1" for _, rows in got for r in rows),
+    )
+    a_rows = [r for _, rows in got for r in rows if r["host"] == "a.example"]
+    assert len(a_rows) == 1
+    assert a_rows[0]["url"] == "http://a.example/1"
+    assert a_rows[0]["emit_round"] == 1
+    # the holdback is visible in the emitted bookkeeping column
+    assert a_rows[0]["pending_after"] == 1
