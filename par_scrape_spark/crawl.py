@@ -1,0 +1,60 @@
+"""Backwards-compatibility shim mirroring ``par_scrape.crawl``.
+
+The reference keeps a re-export module so callers of the former
+monolithic ``crawl`` module keep working
+(/root/reference/src/par_scrape/crawl.py:1-46, ARC-008). A user
+switching from the reference to this engine gets the same import
+surface: enums, the link/URL policy functions, the output-folder path
+function, and the queue helpers — each re-exported from the engine
+module that owns it. New code should import from the specific module.
+
+The queue helpers differ in one structural way the docstring must own:
+the reference's take ``(ticket_id, db_path)`` and read SQLite; the
+engine's are DataFrame operators taking the frontier DataFrame (get it
+from ``CrawlEngine.frontier.read()``) — share-nothing executors have no
+ambient DB handle to default to.
+"""
+
+from par_scrape_spark.config import (  # noqa: F401
+    CrawlConfig,
+    CrawlType,
+    ErrorType,
+    OutputFormat,
+    PageStatus,
+)
+from par_scrape_spark.functions.urls import output_folder_col  # noqa: F401
+from par_scrape_spark.operators.stats import (  # noqa: F401
+    delete_run,
+    find_completed_by_hash,
+    get_run_pages,
+    get_url_depth,
+    list_runs,
+    queue_stats as get_queue_stats,
+    requeue_errors,
+)
+from par_scrape_spark.policy import (  # noqa: F401
+    EXCLUDED_URL_PATTERNS,
+    extract_links,
+    is_valid_url,
+    should_exclude_url,
+)
+
+__all__ = [
+    "CrawlConfig",
+    "CrawlType",
+    "ErrorType",
+    "OutputFormat",
+    "PageStatus",
+    "EXCLUDED_URL_PATTERNS",
+    "extract_links",
+    "is_valid_url",
+    "should_exclude_url",
+    "output_folder_col",
+    "get_queue_stats",
+    "get_run_pages",
+    "get_url_depth",
+    "find_completed_by_hash",
+    "list_runs",
+    "requeue_errors",
+    "delete_run",
+]
