@@ -208,8 +208,12 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "qdct":
         return decode_qdct(data)
     if fmt in ("jpeg", "jpg", "webp", "avif"):
-        raise NotImplementedError(f"{fmt} decode requires an image library not in this container")
-    raise ValueError(f"unknown image format {fmt!r}")
+        raise NotImplementedError(
+            f"{fmt} decode requires an image library not in this container; "
+            "supported formats here: png, qdct (ADVICE r3: name the "
+            "boundary so pipeline authors aren't surprised at runtime)"
+        )
+    raise ValueError(f"unknown image format {fmt!r} (supported: png, qdct)")
 
 
 # ---------------------------------------------------------------- phash / psnr

@@ -6,6 +6,8 @@ supersteps, so it must produce bit-identical crawl results. PLANS.md
 section 'Seen-set exact check ABOVE the broadcast guard' carries the
 no-BroadcastExchange plan evidence for the big side."""
 
+import pytest
+
 from par_scrape_spark.config import CrawlConfig, CrawlType
 from par_scrape_spark.plans.crawl import CrawlEngine
 
@@ -29,6 +31,7 @@ def _run(spark, tmp_path, name, **kw):
     return state["selected_log"], rows
 
 
+@pytest.mark.slow
 def test_shuffle_fallback_matches_broadcast_path(spark, tmp_path):
     log_b, rows_b = _run(spark, tmp_path, "bcast")  # default: broadcasts
     log_s, rows_s = _run(

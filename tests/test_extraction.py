@@ -91,6 +91,7 @@ def test_listing_rows_and_runtime_explode(spark):
     assert set(wide[0].asDict()) == {"run", "url", "listing_idx", *FIELDS}
 
 
+@pytest.mark.slow
 def test_crawl_with_extraction_end_to_end(spark, tmp_path):
     """Extraction wired into the superstep: listings land in the
     extraction table; extraction failures become error frontier rows."""

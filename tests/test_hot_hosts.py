@@ -1,6 +1,7 @@
 """D5 hot-host re-salting: flagged hosts spread rows over multiple salt
 buckets; dedup stays exact across the salt change."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from par_scrape_spark.functions.urls import host_salt_col
@@ -39,6 +40,7 @@ def test_salt_deterministic_per_url(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_crawl_with_hot_spread_matches_default(spark, tmp_path):
     """Re-salting changes only placement, never results: a crawl with the
     feature enabled (forced threshold 1 so every host flags hot after the
