@@ -705,6 +705,37 @@ def q_m_audio_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_d_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (operators/dedup.py:
+    embed_near_dup_pairs): sign-LSH bucketed candidates via one
+    probe-XOR shuffle join + exact double-precision cosine verify —
+    the embedding modality of the near-dup family (phash J8 / minhash
+    text twins). The raw synthetic embeddings carry no near-dups (max
+    pairwise cosine ~0.51), so the query plants 50 deterministic
+    shifted copies (vec_id+100000, every component +0.05 → cosines
+    0.917-0.939 against their sources); the operator must find exactly
+    the planted pairs its probe neighborhood covers. The oracle is
+    fully computed SQL (same literal planes, masks, cap, and double
+    cosine), not a VALUES literal."""
+    from par_scrape_spark.operators.dedup import embed_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.05)
+        ).alias("embedding"),
+    )
+    pairs = embed_near_dup_pairs(
+        base.unionByName(planted), threshold=0.9
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
 def q_t_doc_fingerprint(spark, sf_dir):
     """Winnowing rolling-hash document fingerprints (functions/
     fingerprint.py, Schleimer et al. SIGMOD'03): per-doc fingerprint
@@ -786,6 +817,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a4_lineage_rollup": q_a4_lineage_rollup,
     "t_doc_fingerprint": q_t_doc_fingerprint,
     "d_fp_overlap": q_d_fp_overlap,
+    "d_embed_near_dup": q_d_embed_near_dup,
 }
 
 ORACLES: dict[str, str] = {
@@ -964,6 +996,15 @@ ORACLES: dict[str, str] = {
 from par_scrape_spark.operators.ann import oracle_sql_ann_topk as _ann_oracle
 
 ORACLES["s_ann_topk"] = _ann_oracle(_ann_query_vec(), k=10)
+
+# d_embed_near_dup oracle: fully computed SQL (planes as literal lists,
+# XOR probe masks, bucket cap, double cosine) — certifies the LSH
+# near-dup bucketing end-to-end, no precomputed literals
+from par_scrape_spark.operators.dedup import (
+    oracle_sql_embed_near_dup as _embed_nd_oracle,
+)
+
+ORACLES["d_embed_near_dup"] = _embed_nd_oracle(threshold=0.9)
 
 
 # deterministic engine-native queries (simhash/minhash/jaccard/lang-id/

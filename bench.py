@@ -217,6 +217,7 @@ def query_timings() -> dict[str, float]:
         "s_ann_topk",
         "d_minhash_pairs",
         "d_simhash",
+        "d_embed_near_dup",
         "c1_content_hash",
         "f14_output_folder",
         "m_image_features",

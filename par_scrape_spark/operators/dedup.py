@@ -518,3 +518,151 @@ def near_dup_pairs(
     )
     hamming = F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b")))
     return pairs.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming)
+
+
+def embed_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    max_hamming: int = 1,
+    seed: int = 7,
+    max_bucket: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-LSH bucketed candidate
+    generation + exact cosine verification (the embedding twin of the
+    phash ``near_dup_pairs`` and text ``minhash_near_dup_pairs``
+    families — the third near-dup modality a training-data pipeline
+    dedups on).
+
+    Scale design (bucketed, never all-pairs):
+
+    - each vector gets its 2^``n_planes``-bucket sign-LSH key (the same
+      deterministic planes as the ANN index, so a ``build_ann_index``
+      layout can serve as the write-time form of this bucketing);
+    - the LEFT side explodes to the bucket's Hamming-``max_hamming``
+      probe neighborhood (``1 + n_planes`` keys at distance 1), the
+      RIGHT side keeps its own bucket — ONE shuffle joins probe == 
+      bucket with ``id_a < id_b``. A pair at plane-disagreement h <= 
+      ``max_hamming`` matches on exactly one mask (XOR is symmetric and
+      masks are distinct), so no pair-dedup pass is needed;
+    - degenerate attractor buckets larger than ``max_bucket`` are
+      dropped as join targets (their members still probe outward), the
+      same cap discipline as the phash/minhash twins;
+    - candidates are verified with the exact cosine (double-precision
+      JVM fold, no UDF) and filtered at ``threshold`` — precision is
+      exact; recall is the multi-probe LSH recall: a plane splits a
+      cosine-t pair with probability arccos(t)/pi, so recall ~=
+      P[Binomial(n_planes, arccos(t)/pi) <= max_hamming] — e.g. ~0.95
+      at t=0.99 and ~0.68 at t=0.9 with 8 planes / hamming 1; widen
+      ``max_hamming`` (or OR over independent plane tables) to buy
+      recall for looser thresholds.
+
+    Returns (id_a, id_b, cosine) with cosine rounded to 6 places.
+    """
+    from par_scrape_spark.operators.ann import (
+        hyperplanes,
+        lsh_bucket_col,
+        probe_buckets,
+    )
+
+    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not dim_row:
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    planes = hyperplanes(int(dim_row[0]["d"]), n_planes, seed)
+    # one double-cast projection feeds BOTH the bucket planes and the
+    # cosine, so the oracle's double arithmetic matches bit-for-bit
+    base = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_bucket", lsh_bucket_col("_v", planes))
+
+    sizes = base.groupBy("_bucket").count()
+    ok = sizes.filter(F.col("count") <= max_bucket).select("_bucket")
+    right = base.join(F.broadcast(ok), "_bucket").select(
+        F.col("_bucket").alias("_rb"),
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+    )
+
+    # the XOR masks of the Hamming-<=max_hamming neighborhood are the
+    # probe set of bucket 0
+    masks = probe_buckets(0, n_planes, max_hamming)
+    left = base.withColumn(
+        "_probe",
+        F.explode(F.array(*[F.lit(m) for m in masks])),
+    ).select(
+        F.col("_bucket").bitwiseXOR(F.col("_probe")).alias("_rb"),
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+    )
+
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("_va"), F.lit(0.0), lambda a, x: a + x * x))
+    nb = F.sqrt(F.aggregate(F.col("_vb"), F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        left.join(right, ["_rb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def oracle_sql_embed_near_dup(
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    max_hamming: int = 1,
+    seed: int = 7,
+    dim: int = 64,
+    max_bucket: int = 10_000,
+    plant_shift: float = 0.05,
+    plant_below: int = 50,
+    plant_id_offset: int = 100_000,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of ``embed_near_dup_pairs`` over base ∪ planted
+    shifted copies — same literal planes, same sign-bucket expression,
+    same XOR probe masks, same bucket cap, same double cosine — a fully
+    computed (non-literal) oracle certifying the bucketing + probe +
+    verify math end-to-end."""
+    from par_scrape_spark.operators.ann import hyperplanes, probe_buckets
+
+    planes = hyperplanes(dim, n_planes, seed)
+    planes_sql = [
+        "[" + ", ".join(repr(float(v)) for v in p) + "]" for p in planes
+    ]
+    bucket_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {p}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes_sql)
+    )
+    masks = ", ".join(f"({m})" for m in probe_buckets(0, n_planes, max_hamming))
+    cos = (
+        "ROUND(list_dot_product(ea, eb) / "
+        "(sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))), 6)"
+    )
+    return (
+        f"WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        f"FROM {table}), "
+        f"planted AS (SELECT vec_id + {plant_id_offset} AS vec_id, "
+        f"list_transform(CAST(embedding AS DOUBLE[]), x -> x + {plant_shift!r}) "
+        f"AS e FROM {table} WHERE vec_id < {plant_below}), "
+        f"d AS (SELECT * FROM base UNION ALL SELECT * FROM planted), "
+        f"b AS (SELECT vec_id, e, CAST({bucket_sql} AS INTEGER) AS bucket FROM d), "
+        f"ok AS (SELECT bucket FROM b GROUP BY bucket "
+        f"HAVING COUNT(*) <= {max_bucket}), "
+        f"pr AS (SELECT vec_id AS id_a, e AS ea, xor(bucket, mm.m) AS rb "
+        f"FROM b CROSS JOIN (VALUES {masks}) AS mm(m)), "
+        f"cand AS (SELECT pr.id_a, b2.vec_id AS id_b, pr.ea, b2.e AS eb "
+        f"FROM pr JOIN b b2 ON pr.rb = b2.bucket AND pr.id_a < b2.vec_id "
+        f"WHERE b2.bucket IN (SELECT bucket FROM ok)) "
+        f"SELECT id_a, id_b, {cos} AS cosine FROM cand "
+        f"WHERE {cos} >= {threshold!r} ORDER BY id_a, id_b"
+    )

@@ -106,3 +106,49 @@ def test_bucket_cap_drops_degenerate_band(spark):
         for r in near_dup_pairs(df, max_bucket=10).collect()
     }
     assert got[("a", "b")] == 1
+
+
+# ---------------------------------------------- embedding-cosine near-dup
+
+
+def test_embed_near_dup_finds_planted_pairs(spark):
+    """Planted jittered copies must pair with their sources (cosine via
+    exact verify, candidates via the sign-LSH probe join); unrelated
+    orthogonal-ish vectors must not pair."""
+    import numpy as np
+
+    from par_scrape_spark.operators.dedup import embed_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    vecs = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # planted near-dups: tiny shift of vectors 0..9 -> cosine ~0.9999,
+    # while unrelated 16-dim gaussian pairs stay far below 0.98
+    vecs += [
+        (1000 + i, [float(x) for x in base[i] + 0.01]) for i in range(10)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    pairs = embed_near_dup_pairs(df, threshold=0.98, n_planes=6).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # precision is exact: at 0.98 ONLY planted (i, 1000+i) pairs exist
+    assert found, "no planted pairs found"
+    assert all(b == a + 1000 for a, b in found), found
+    assert len(found) >= 5  # multi-probe recall over 10 plants
+    for r in pairs:
+        assert r["cosine"] >= 0.98
+
+
+def test_embed_near_dup_empty_and_cap(spark):
+    from par_scrape_spark.operators.dedup import embed_near_dup_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embed_near_dup_pairs(empty).count() == 0
+
+    # identical vectors all land in one bucket; a cap below the bucket
+    # size drops it as a join target -> no O(n^2) pair blowup
+    same = spark.createDataFrame(
+        [(i, [1.0, 0.5, -0.25, 0.125]) for i in range(50)],
+        ["vec_id", "embedding"],
+    )
+    capped = embed_near_dup_pairs(same, threshold=0.5, max_bucket=10)
+    assert capped.count() == 0
