@@ -355,6 +355,20 @@ def q_t_token_count(spark, sf_dir):
     )
 
 
+def q_t_token_count_bpe(spark, sf_dir):
+    """BPE-ish regex token counting (functions/text.py:BPE_TOKEN_RE —
+    the GPT-2 pre-tokenizer shape restricted to the RE2-compatible
+    subset): the whitespace counter's cost-estimation sibling, fully
+    JVM-side via regexp_count; the oracle runs the identical pattern in
+    DuckDB's RE2."""
+    from par_scrape_spark.functions.text import bpe_token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_token_count_col(F.col("text")).alias("n_tokens_bpe")
+    )
+
+
 def q_t_lang_distribution(spark, sf_dir):
     """Language distribution + average length per language."""
     docs = _t(spark, sf_dir, "documents")
@@ -798,6 +812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c9_backoff": q_c9_backoff,
     "d_exact_dedup": q_d_exact_dedup,
     "t_token_count": q_t_token_count,
+    "t_token_count_bpe": q_t_token_count_bpe,
     "t_lang_distribution": q_t_lang_distribution,
     "t_quality_score": q_t_quality_score,
     "s_embed_topk": q_s_embed_topk,
@@ -942,6 +957,13 @@ ORACLES: dict[str, str] = {
     "t_token_count": (
         "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens "
         "FROM documents"
+    ),
+    # same RE2/Java-compatible pattern string on both sides (see
+    # functions/text.py:BPE_TOKEN_RE); SQL single quotes doubled
+    "t_token_count_bpe": (
+        "SELECT doc_id, len(regexp_extract_all(COALESCE(text, ''), "
+        "'''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+"
+        "| ?[^\\s\\p{L}\\p{N}'']+|\\s+')) AS n_tokens_bpe FROM documents"
     ),
     "t_lang_distribution": (
         "SELECT lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars "

@@ -31,6 +31,23 @@ from pyspark.sql import types as T
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
+# BPE-ish pre-tokenizer regex (the GPT-2 pre-tokenizer shape: English
+# contraction suffixes, space-prefixed letter runs, digit runs, and
+# punctuation runs — published in the GPT-2 code/paper), restricted to
+# the RE2-compatible subset (no lookahead) so the SAME pattern string
+# runs in Spark's Java regex AND DuckDB's RE2 with identical counts —
+# bpe_token_count_col's oracle depends on that.
+BPE_TOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}']+|\s+"
+)
+
+
+def bpe_token_count_col(text_col) -> "F.Column":
+    """BPE-ish token count as a JVM expression (regexp_count — stays in
+    whole-stage codegen, no UDF): the cost-estimation tokenizer of an
+    LLM-data pipeline, approximating BPE segment counts without a vocab."""
+    return F.regexp_count(F.coalesce(text_col, F.lit("")), F.lit(BPE_TOKEN_RE))
+
 
 def spread_small_input(df: DataFrame) -> DataFrame:
     """Repartition ONLY when the scan under-partitions the cluster.

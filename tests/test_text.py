@@ -158,3 +158,38 @@ def test_ngram_jaccard_vectorized_values(spark):
     for (a, b), j in got.items():
         assert j == round(ref_jaccard(texts[a], texts[b]), 4), (a, b)
     assert got[(1, 2)] > 0.5 and got[(1, 3)] == 0.0 and got[(4, 4)] == 0.0
+
+
+def test_bpe_token_count_expected_values(spark):
+    """BPE-ish pre-tokenizer count (functions/text.py:BPE_TOKEN_RE):
+    hand-counted segmentations over contraction / letter-run /
+    digit-run / punct-run / whitespace cases, plus the NULL guard."""
+    from pyspark.sql import functions as F
+
+    from par_scrape_spark.functions.text import bpe_token_count_col
+
+    cases = [
+        # "it's done" -> [it]["'s"][ done] = 3
+        ("it's done", 3),
+        # "hello world" -> [hello][ world] = 2
+        ("hello world", 2),
+        # "price 997!!" -> [price][ 997][!!] = 3
+        ("price 997!!", 3),
+        # "a1b2" -> [a][1][b][2] = 4 (letter/digit runs split)
+        ("a1b2", 4),
+        # trailing spaces are a \s+ token: "x  " -> [x][  ] = 2
+        ("x  ", 2),
+        ("", 0),
+        (None, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], ["i", "text"]
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", bpe_token_count_col(F.col("text")).alias("n")
+        ).collect()
+    }
+    for i, (text, want) in enumerate(cases):
+        assert got[i] == want, (text, got[i], want)
