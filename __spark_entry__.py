@@ -750,6 +750,32 @@ def q_d_embed_near_dup(spark, sf_dir):
     return pairs.orderBy("id_a", "id_b")
 
 
+def q_d_embed_near_dup_or3(spark, sf_dir):
+    """OR-amplified variant of d_embed_near_dup (n_tables=3): three
+    independent plane sets, a pair survives if ANY table's probe
+    neighborhood catches it — recall 1-(1-r)^3 at 3x candidate cost,
+    the standard LSH recall/cost dial demonstrated against the same
+    planted pairs (the single-table run catches 28/50; this one must
+    catch strictly more, pinned exactly by the computed SQL oracle)."""
+    from par_scrape_spark.operators.dedup import embed_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.05)
+        ).alias("embedding"),
+    )
+    pairs = embed_near_dup_pairs(
+        base.unionByName(planted), threshold=0.9, n_tables=3
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
 def q_t_doc_fingerprint(spark, sf_dir):
     """Winnowing rolling-hash document fingerprints (functions/
     fingerprint.py, Schleimer et al. SIGMOD'03): per-doc fingerprint
@@ -833,6 +859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_doc_fingerprint": q_t_doc_fingerprint,
     "d_fp_overlap": q_d_fp_overlap,
     "d_embed_near_dup": q_d_embed_near_dup,
+    "d_embed_near_dup_or3": q_d_embed_near_dup_or3,
 }
 
 ORACLES: dict[str, str] = {
@@ -1027,6 +1054,7 @@ from par_scrape_spark.operators.dedup import (
 )
 
 ORACLES["d_embed_near_dup"] = _embed_nd_oracle(threshold=0.9)
+ORACLES["d_embed_near_dup_or3"] = _embed_nd_oracle(threshold=0.9, n_tables=3)
 
 
 # deterministic engine-native queries (simhash/minhash/jaccard/lang-id/

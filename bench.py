@@ -218,6 +218,7 @@ def query_timings() -> dict[str, float]:
         "d_minhash_pairs",
         "d_simhash",
         "d_embed_near_dup",
+        "d_embed_near_dup_or3",
         "c1_content_hash",
         "f14_output_folder",
         "m_image_features",

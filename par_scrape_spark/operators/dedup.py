@@ -529,6 +529,7 @@ def embed_near_dup_pairs(
     max_bucket: int = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: sign-LSH bucketed candidate
     generation + exact cosine verification (the embedding twin of the
@@ -556,8 +557,12 @@ def embed_near_dup_pairs(
       cosine-t pair with probability arccos(t)/pi, so recall ~=
       P[Binomial(n_planes, arccos(t)/pi) <= max_hamming] — e.g. ~0.95
       at t=0.99 and ~0.68 at t=0.9 with 8 planes / hamming 1; widen
-      ``max_hamming`` (or OR over independent plane tables) to buy
-      recall for looser thresholds.
+      ``max_hamming`` to buy recall with probe width, or set
+      ``n_tables`` > 1 for OR-amplification: L independent plane sets
+      (seeds ``seed..seed+L-1``), a pair survives if ANY table catches
+      it — recall 1-(1-r)^L for the per-table recall r, at L x the
+      candidate-generation cost (the standard LSH recall/cost dial).
+      Multi-table candidates are deduped on (id_a, id_b) post-verify.
 
     Returns (id_a, id_b, cosine) with cosine rounded to 6 places.
     """
@@ -572,30 +577,56 @@ def embed_near_dup_pairs(
         return embeddings.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"
         )
-    planes = hyperplanes(int(dim_row[0]["d"]), n_planes, seed)
+    dim = int(dim_row[0]["d"])
     # one double-cast projection feeds BOTH the bucket planes and the
-    # cosine, so the oracle's double arithmetic matches bit-for-bit
+    # cosine, so the oracle's double arithmetic matches bit-for-bit;
+    # one bucket column per OR-table (independent plane sets by seed)
     base = embeddings.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).withColumn("_bucket", lsh_bucket_col("_v", planes))
+    )
+    for t in range(n_tables):
+        base = base.withColumn(
+            f"_bucket{t}",
+            lsh_bucket_col("_v", hyperplanes(dim, n_planes, seed + t)),
+        )
 
-    sizes = base.groupBy("_bucket").count()
-    ok = sizes.filter(F.col("count") <= max_bucket).select("_bucket")
-    right = base.join(F.broadcast(ok), "_bucket").select(
-        F.col("_bucket").alias("_rb"),
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), F.col(f"_bucket{t}").alias("b"))
+                for t in range(n_tables)
+            ]
+        )
+    )
+    right_all = base.withColumn("_tb", tb).select(
+        F.col("_tb.t").alias("_t"),
+        F.col("_tb.b").alias("_rb"),
         F.col("_id").alias("id_b"),
         F.col("_v").alias("_vb"),
     )
+    sizes = right_all.groupBy("_t", "_rb").count()
+    ok = sizes.filter(F.col("count") <= max_bucket).select("_t", "_rb")
+    right = right_all.join(F.broadcast(ok), ["_t", "_rb"])
 
     # the XOR masks of the Hamming-<=max_hamming neighborhood are the
     # probe set of bucket 0
     masks = probe_buckets(0, n_planes, max_hamming)
-    left = base.withColumn(
-        "_probe",
-        F.explode(F.array(*[F.lit(m) for m in masks])),
-    ).select(
-        F.col("_bucket").bitwiseXOR(F.col("_probe")).alias("_rb"),
+    probe = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    F.col(f"_bucket{t}").bitwiseXOR(F.lit(m)).alias("b"),
+                )
+                for t in range(n_tables)
+                for m in masks
+            ]
+        )
+    )
+    left = base.withColumn("_tb", probe).select(
+        F.col("_tb.t").alias("_t"),
+        F.col("_tb.b").alias("_rb"),
         F.col("_id").alias("id_a"),
         F.col("_v").alias("_va"),
     )
@@ -607,13 +638,17 @@ def embed_near_dup_pairs(
     )
     na = F.sqrt(F.aggregate(F.col("_va"), F.lit(0.0), lambda a, x: a + x * x))
     nb = F.sqrt(F.aggregate(F.col("_vb"), F.lit(0.0), lambda a, x: a + x * x))
-    return (
-        left.join(right, ["_rb"])
+    pairs = (
+        left.join(right, ["_t", "_rb"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(dot / (na * nb), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    if n_tables > 1:
+        # a pair can be caught by several tables; rows are value-identical
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 def oracle_sql_embed_near_dup(
@@ -623,6 +658,7 @@ def oracle_sql_embed_near_dup(
     seed: int = 7,
     dim: int = 64,
     max_bucket: int = 10_000,
+    n_tables: int = 1,
     plant_shift: float = 0.05,
     plant_below: int = 50,
     plant_id_offset: int = 100_000,
@@ -635,13 +671,20 @@ def oracle_sql_embed_near_dup(
     verify math end-to-end."""
     from par_scrape_spark.operators.ann import hyperplanes, probe_buckets
 
-    planes = hyperplanes(dim, n_planes, seed)
-    planes_sql = [
-        "[" + ", ".join(repr(float(v)) for v in p) + "]" for p in planes
-    ]
-    bucket_sql = " + ".join(
-        f"(CASE WHEN list_dot_product(e, {p}) > 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes_sql)
+    def _bucket_sql(t: int) -> str:
+        planes = hyperplanes(dim, n_planes, seed + t)
+        planes_sql = [
+            "[" + ", ".join(repr(float(v)) for v in p) + "]" for p in planes
+        ]
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(e, {p}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes_sql)
+        )
+
+    b_union = " UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS t, CAST({_bucket_sql(t)} AS INTEGER) "
+        f"AS bucket FROM d"
+        for t in range(n_tables)
     )
     masks = ", ".join(f"({m})" for m in probe_buckets(0, n_planes, max_hamming))
     cos = (
@@ -655,14 +698,15 @@ def oracle_sql_embed_near_dup(
         f"list_transform(CAST(embedding AS DOUBLE[]), x -> x + {plant_shift!r}) "
         f"AS e FROM {table} WHERE vec_id < {plant_below}), "
         f"d AS (SELECT * FROM base UNION ALL SELECT * FROM planted), "
-        f"b AS (SELECT vec_id, e, CAST({bucket_sql} AS INTEGER) AS bucket FROM d), "
-        f"ok AS (SELECT bucket FROM b GROUP BY bucket "
+        f"b AS ({b_union}), "
+        f"ok AS (SELECT t, bucket FROM b GROUP BY t, bucket "
         f"HAVING COUNT(*) <= {max_bucket}), "
-        f"pr AS (SELECT vec_id AS id_a, e AS ea, xor(bucket, mm.m) AS rb "
+        f"pr AS (SELECT vec_id AS id_a, e AS ea, t, xor(bucket, mm.m) AS rb "
         f"FROM b CROSS JOIN (VALUES {masks}) AS mm(m)), "
-        f"cand AS (SELECT pr.id_a, b2.vec_id AS id_b, pr.ea, b2.e AS eb "
-        f"FROM pr JOIN b b2 ON pr.rb = b2.bucket AND pr.id_a < b2.vec_id "
-        f"WHERE b2.bucket IN (SELECT bucket FROM ok)) "
+        f"cand AS (SELECT DISTINCT pr.id_a, b2.vec_id AS id_b, pr.ea, b2.e AS eb "
+        f"FROM pr JOIN b b2 ON pr.t = b2.t AND pr.rb = b2.bucket "
+        f"AND pr.id_a < b2.vec_id "
+        f"JOIN ok ON ok.t = b2.t AND ok.bucket = b2.bucket) "
         f"SELECT id_a, id_b, {cos} AS cosine FROM cand "
         f"WHERE {cos} >= {threshold!r} ORDER BY id_a, id_b"
     )
