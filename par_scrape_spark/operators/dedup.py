@@ -590,6 +590,17 @@ def embed_near_dup_pairs(
             f"_bucket{t}",
             lsh_bucket_col("_v", hyperplanes(dim, n_planes, seed + t)),
         )
+    # per-VECTOR norm, computed once here rather than once per candidate
+    # pair in the verify (the candidates outnumber the vectors by the
+    # in-bucket pair fan-out); same fold as the oracle's sqrt(dot(e,e))
+    base = base.withColumn(
+        "_n", F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x))
+    )
+    # exchange barrier: the bucket/norm folds above are expensive
+    # higher-order expressions — without the barrier Catalyst inlines
+    # them into every downstream reference (sizes agg, both join sides,
+    # each explode entry) and they re-evaluate per reference
+    base = base.repartition("_id")
 
     tb = F.explode(
         F.array(
@@ -604,6 +615,7 @@ def embed_near_dup_pairs(
         F.col("_tb.b").alias("_rb"),
         F.col("_id").alias("id_b"),
         F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     sizes = right_all.groupBy("_t", "_rb").count()
     ok = sizes.filter(F.col("count") <= max_bucket).select("_t", "_rb")
@@ -629,6 +641,7 @@ def embed_near_dup_pairs(
         F.col("_tb.b").alias("_rb"),
         F.col("_id").alias("id_a"),
         F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
 
     dot = F.aggregate(
@@ -636,12 +649,10 @@ def embed_near_dup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(F.col("_va"), F.lit(0.0), lambda a, x: a + x * x))
-    nb = F.sqrt(F.aggregate(F.col("_vb"), F.lit(0.0), lambda a, x: a + x * x))
     pairs = (
         left.join(right, ["_t", "_rb"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .withColumn("cosine", F.round(dot / (F.col("_na") * F.col("_nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
