@@ -127,3 +127,54 @@ def test_crawl_delay_blocks_next_batch(spark, tmp_path):
     assert a_rows[0]["emit_round"] == 1
     # the holdback is visible in the emitted bookkeeping column
     assert a_rows[0]["pending_after"] == 1
+
+
+def test_gated_stream_feeds_fetch(spark, tmp_path):
+    """Integration: the gate's emitted fetch slots drive the real fetch
+    UDF inside foreachBatch — the streaming form of the superstep's
+    select -> fetch stage (each micro-batch's emissions are a static
+    DataFrame, so fetch_extract applies unchanged)."""
+    from par_scrape_spark.config import CrawlType
+    from par_scrape_spark.operators.links import fetch_extract
+
+    fetched: list = []
+
+    def _fetch_sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        rows = fetch_extract(
+            batch_df.select("host", "url"), 42, CrawlType.SINGLE_PAGE
+        ).collect()
+        fetched.extend(rows)
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    spark.createDataFrame(
+        [
+            ("site-00001.example", "http://site-00001.example/page/1"),
+            ("site-00001.example", "http://site-00001.example/page/2"),
+        ],
+        REQ_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    stream = spark.readStream.schema(REQ_SCHEMA).parquet(feed)
+    gated = politeness_gate(stream, crawl_delay_ms=1)
+    q = (
+        gated.writeStream.outputMode("update")
+        .foreachBatch(_fetch_sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline and len(fetched) < 2:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    # both same-host URLs fetched, drained across rounds by the gate
+    assert {r["url"] for r in fetched} == {
+        "http://site-00001.example/page/1",
+        "http://site-00001.example/page/2",
+    }
+    for r in fetched:
+        assert r["fetch_error"] is None
+        assert r["markdown"] and r["content_hash"]
