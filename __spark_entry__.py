@@ -776,6 +776,36 @@ def q_d_embed_near_dup_or3(spark, sf_dir):
     return pairs.orderBy("id_a", "id_b")
 
 
+def q_d_embed_near_dup_indexed(spark, sf_dir):
+    """d_embed_near_dup through the write-time ANN index layout
+    (operators/dedup.py:embed_near_dup_pairs_indexed): the planted-union
+    table is rewritten once via build_ann_index (bucket-partitioned, the
+    10^10-scale ingest form), then the near-dup join reads the STORED
+    bucket partition column instead of recomputing the 8-plane sign
+    folds per side. Must match the same computed SQL oracle as the
+    recomputed path — identical planes, probes, cap, cosine."""
+    import tempfile
+
+    from par_scrape_spark.operators.ann import build_ann_index
+    from par_scrape_spark.operators.dedup import embed_near_dup_pairs_indexed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.05)
+        ).alias("embedding"),
+    )
+    idx = tempfile.mkdtemp(prefix="embed_nd_idx_") + "/index"
+    build_ann_index(base.unionByName(planted), idx)
+    pairs = embed_near_dup_pairs_indexed(spark, idx, threshold=0.9)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def q_t_doc_fingerprint(spark, sf_dir):
     """Winnowing rolling-hash document fingerprints (functions/
     fingerprint.py, Schleimer et al. SIGMOD'03): per-doc fingerprint
@@ -860,6 +890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_fp_overlap": q_d_fp_overlap,
     "d_embed_near_dup": q_d_embed_near_dup,
     "d_embed_near_dup_or3": q_d_embed_near_dup_or3,
+    "d_embed_near_dup_indexed": q_d_embed_near_dup_indexed,
 }
 
 ORACLES: dict[str, str] = {
@@ -986,11 +1017,14 @@ ORACLES: dict[str, str] = {
         "FROM documents"
     ),
     # same RE2/Java-compatible pattern string on both sides (see
-    # functions/text.py:BPE_TOKEN_RE); SQL single quotes doubled
+    # functions/text.py:BPE_TOKEN_RE — explicit whitespace class, not
+    # \s, because Java's \s includes \x0B and RE2's does not); SQL
+    # single quotes doubled
     "t_token_count_bpe": (
         "SELECT doc_id, len(regexp_extract_all(COALESCE(text, ''), "
         "'''(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+"
-        "| ?[^\\s\\p{L}\\p{N}'']+|\\s+')) AS n_tokens_bpe FROM documents"
+        "| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}'']+|[ \\t\\n\\r\\f]+')) "
+        "AS n_tokens_bpe FROM documents"
     ),
     "t_lang_distribution": (
         "SELECT lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars "
@@ -1055,6 +1089,8 @@ from par_scrape_spark.operators.dedup import (
 
 ORACLES["d_embed_near_dup"] = _embed_nd_oracle(threshold=0.9)
 ORACLES["d_embed_near_dup_or3"] = _embed_nd_oracle(threshold=0.9, n_tables=3)
+# the indexed path must reproduce the recomputed path exactly — same oracle
+ORACLES["d_embed_near_dup_indexed"] = _embed_nd_oracle(threshold=0.9)
 
 
 # deterministic engine-native queries (simhash/minhash/jaccard/lang-id/

@@ -58,6 +58,22 @@ def _add_scrape(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--if-changed", action="store_true")
     p.add_argument("--no-robots", action="store_true")
     p.add_argument("--no-rate-limits", action="store_true")
+    # reference-parity spellings (reference __main__.py:249-256 exposes
+    # typer booleans --respect-rate-limits/--respect-robots, which also
+    # generate --no-respect-* forms). When given they override the
+    # inverted --no-* flags above; default None keeps those authoritative.
+    p.add_argument(
+        "--respect-robots",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="reference-parity alias; overrides --no-robots when given",
+    )
+    p.add_argument(
+        "--respect-rate-limits",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="reference-parity alias; overrides --no-rate-limits when given",
+    )
     p.add_argument("--web-seed", type=int, default=42)
     p.add_argument(
         "--output-format",
@@ -320,8 +336,16 @@ def main(argv: list[str] | None = None) -> int:
             crawl_batch_size=args.crawl_batch_size,
             crawl_max_pages=args.crawl_max_pages,
             scrape_retries=args.scrape_retries,
-            respect_rate_limits=not args.no_rate_limits,
-            respect_robots=not args.no_robots,
+            respect_rate_limits=(
+                args.respect_rate_limits
+                if args.respect_rate_limits is not None
+                else not args.no_rate_limits
+            ),
+            respect_robots=(
+                args.respect_robots
+                if args.respect_robots is not None
+                else not args.no_robots
+            ),
             crawl_delay=args.crawl_delay,
             web_seed=args.web_seed,
             max_depth=args.max_depth,
@@ -337,6 +361,7 @@ def main(argv: list[str] | None = None) -> int:
             wait_type=args.wait_type,
             wait_selector=args.wait_selector,
             sleep_time=args.sleep_time,
+            scrape_max_parallel=args.scrape_max_parallel,
         )
         _say(
             {

@@ -12,7 +12,23 @@ The queue helpers differ in one structural way the docstring must own:
 the reference's take ``(ticket_id, db_path)`` and read SQLite; the
 engine's are DataFrame operators taking the frontier DataFrame (get it
 from ``CrawlEngine.frontier.read()``) — share-nothing executors have no
-ambient DB handle to default to.
+ambient DB handle to default to. The queue MUTATORS
+(``add_to_queue``/``mark_complete``/``mark_error``/``set_crawl_delay``/
+``increase_crawl_delay``) follow the same shape: they return the delta
+rows to ``commit_upsert`` rather than writing in place (see
+``par_scrape_spark.queue``).
+
+Reference names that are N/A by architecture (documented, not
+re-exported — importing them should fail loudly rather than hand back
+a meaningless stand-in):
+
+- ``BASE_PATH`` / ``DB_PATH`` (queue_db.py:18-19): module-global SQLite
+  file paths. The engine's state root is the explicit ``warehouse``
+  argument everywhere (share-nothing executors have no ambient path).
+- ``ROBOTS_PARSERS`` / ``ROBOTS_PARSERS_LOCK`` (robots.py:12-14): a
+  process-lifetime in-memory parser cache + lock. The engine persists
+  fetched robots bodies in the politeness table instead — surviving
+  restarts and visible to every executor (operators/robots.py).
 """
 
 from par_scrape_spark.config import (  # noqa: F401
@@ -23,6 +39,18 @@ from par_scrape_spark.config import (  # noqa: F401
     PageStatus,
 )
 from par_scrape_spark.functions.urls import output_folder_col  # noqa: F401
+from par_scrape_spark.operators.robots import DEFAULT_USER_AGENT  # noqa: F401
+from par_scrape_spark.queue import (  # noqa: F401
+    add_to_queue,
+    check_robots_txt,
+    get_next_urls,
+    get_url_output_folder,
+    increase_crawl_delay,
+    init_db,
+    mark_complete,
+    mark_error,
+    set_crawl_delay,
+)
 from par_scrape_spark.operators.stats import (  # noqa: F401
     delete_run,
     find_completed_by_hash,
@@ -40,16 +68,21 @@ from par_scrape_spark.policy import (  # noqa: F401
 )
 
 __all__ = [
+    # enums
     "CrawlConfig",
     "CrawlType",
     "ErrorType",
     "OutputFormat",
     "PageStatus",
+    # links / policy
     "EXCLUDED_URL_PATTERNS",
     "extract_links",
     "is_valid_url",
     "should_exclude_url",
+    # paths
     "output_folder_col",
+    "get_url_output_folder",
+    # queue (read side)
     "get_queue_stats",
     "get_run_pages",
     "get_url_depth",
@@ -57,4 +90,15 @@ __all__ = [
     "list_runs",
     "requeue_errors",
     "delete_run",
+    # queue (mutators, engine-shaped: return delta rows to commit_upsert)
+    "init_db",
+    "add_to_queue",
+    "get_next_urls",
+    "mark_complete",
+    "mark_error",
+    "set_crawl_delay",
+    "increase_crawl_delay",
+    # robots
+    "DEFAULT_USER_AGENT",
+    "check_robots_txt",
 ]

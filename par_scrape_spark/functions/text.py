@@ -36,9 +36,14 @@ _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 # punctuation runs — published in the GPT-2 code/paper), restricted to
 # the RE2-compatible subset (no lookahead) so the SAME pattern string
 # runs in Spark's Java regex AND DuckDB's RE2 with identical counts —
-# bpe_token_count_col's oracle depends on that.
+# bpe_token_count_col's oracle depends on that. Whitespace is an
+# EXPLICIT class, not \s: Java's \s includes vertical tab (\x0B) while
+# RE2's does not, so \s-based patterns disagree on documents containing
+# \x0B (ADVICE r4). With the explicit class, \x0B consistently falls
+# into the punctuation run on both engines.
 BPE_TOKEN_RE = (
-    r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}']+|\s+"
+    r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+"
+    r"| ?[^ \t\n\r\f\p{L}\p{N}']+|[ \t\n\r\f]+"
 )
 
 

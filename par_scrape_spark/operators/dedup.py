@@ -574,8 +574,19 @@ def embed_near_dup_pairs(
 
     dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     if not dim_row:
+        # empty-result schema mirrors the non-empty path: id_a/id_b
+        # inherit id_col's actual type (string ids must not come back
+        # long just because the input was empty — ADVICE r4)
+        id_type = embeddings.schema[id_col].dataType
         return embeddings.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cosine double"
+            [],
+            T.StructType(
+                [
+                    T.StructField("id_a", id_type),
+                    T.StructField("id_b", id_type),
+                    T.StructField("cosine", T.DoubleType()),
+                ]
+            ),
         )
     dim = int(dim_row[0]["d"])
     # one double-cast projection feeds BOTH the bucket planes and the
@@ -601,6 +612,25 @@ def embed_near_dup_pairs(
     # them into every downstream reference (sizes agg, both join sides,
     # each explode entry) and they re-evaluate per reference
     base = base.repartition("_id")
+    return _bucketed_pairs(
+        base, n_tables, n_planes, max_hamming, max_bucket, threshold
+    )
+
+
+def _bucketed_pairs(
+    base: DataFrame,
+    n_tables: int,
+    n_planes: int,
+    max_hamming: int,
+    max_bucket: int,
+    threshold: float,
+) -> DataFrame:
+    """The probe-XOR pair join + exact-cosine verify shared by the
+    recomputed (``embed_near_dup_pairs``) and index-layout
+    (``embed_near_dup_pairs_indexed``) paths. ``base`` carries
+    (_id, _v double-array, _n norm, _bucket0.._bucket{n_tables-1}) with
+    any expensive folds already behind an exchange barrier."""
+    from par_scrape_spark.operators.ann import probe_buckets
 
     tb = F.explode(
         F.array(
@@ -660,6 +690,62 @@ def embed_near_dup_pairs(
         # a pair can be caught by several tables; rows are value-identical
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return pairs
+
+
+def embed_near_dup_pairs_indexed(
+    spark,
+    index_path: str,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    max_hamming: int = 1,
+    max_bucket: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``embed_near_dup_pairs`` over a write-time ``build_ann_index``
+    layout (PLANS.md §D6 scale note, VERDICT r4 next #2): at 10^10
+    vectors the right side of the near-dup join should be the
+    bucket-partitioned index written once at ingest, not a bucket
+    column recomputed over the full table per query. The stored
+    ``bucket`` partition column replaces BOTH sides' 2^n_planes-fold
+    sign computations — the dominant per-vector cost of the recomputed
+    path — leaving only the norm fold, the probe-XOR explode (integer
+    ops on the stored bucket), ONE shuffle join, and the exact-cosine
+    verify. Results are identical to ``embed_near_dup_pairs(...,
+    n_tables=1, seed=<index seed>)`` by construction: the index's
+    planes are deterministic from (n_planes, dim, seed), so the same
+    computed SQL oracle certifies both paths.
+
+    The self-join spans the whole corpus, so no partition pruning
+    applies here (unlike point ANN queries, where probes prune files);
+    the index's win for this operator is eliminating the plane folds
+    and arriving pre-clustered by join key.
+    """
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from par_scrape_spark.operators.ann import _fs_read_text
+
+    base_path = index_path.rstrip("/")
+    reader = spark.read
+    schema_text = _fs_read_text(spark, f"{base_path}/_SCHEMA.json")
+    if schema_text is not None:  # skip the footer-inference job
+        reader = reader.schema(T.StructType.fromJson(_json.loads(schema_text)))
+    indexed = reader.option("basePath", base_path).parquet(base_path)
+
+    base = indexed.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        F.col("bucket").cast("int").alias("_bucket0"),
+    )
+    base = base.withColumn(
+        "_n", F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x))
+    )
+    # same exchange barrier as the recomputed path: the norm fold would
+    # otherwise be re-inlined into both join sides and the explode
+    base = base.repartition("_id")
+    return _bucketed_pairs(base, 1, n_planes, max_hamming, max_bucket, threshold)
 
 
 def oracle_sql_embed_near_dup(

@@ -22,6 +22,10 @@ from pyspark.sql import types as T
 from par_scrape_spark import policy
 from par_scrape_spark.sources import synthetic_web
 
+# Reference identity string (robots.py:9) — the agent robots rules are
+# evaluated against; re-exported via the crawl compat shim.
+DEFAULT_USER_AGENT = "par-scrape/1.0 (+https://github.com/paulrobello/par_scrape)"
+
 
 def fetch_robots_for_hosts(hosts: DataFrame, seed: int) -> DataFrame:
     """S8: fetch robots.txt for each distinct host (synthetic in sandbox).

@@ -99,6 +99,28 @@ def _atomic_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
+def make_tables(spark: SparkSession, warehouse: str) -> dict[str, SnapshotTable]:
+    """Open (creating on first commit) the warehouse's five snapshot
+    tables — the engine's schema-init step (reference init_db,
+    queue_db.py:154; S1). Shared by ``CrawlEngine.__init__`` and the
+    ``queue.init_db`` compat wrapper so both agree on keys/partitioning."""
+    os.makedirs(warehouse, exist_ok=True)
+    return {
+        "frontier": SnapshotTable(
+            spark, warehouse, "frontier", FRONTIER_SCHEMA,
+            key_cols=["run", "url"], partition_cols=["host_salt"],
+        ),
+        "politeness": SnapshotTable(
+            spark, warehouse, "politeness", POLITENESS_SCHEMA, key_cols=["host"]
+        ),
+        "payload": SnapshotTable(spark, warehouse, "payload", PAYLOAD_SCHEMA),
+        "lineage": SnapshotTable(spark, warehouse, "lineage", LINEAGE_SCHEMA),
+        "extraction": SnapshotTable(
+            spark, warehouse, "extraction", EXTRACTION_SCHEMA
+        ),
+    }
+
+
 class CrawlEngine:
     """One crawl run over a warehouse directory; resumable from snapshot."""
 
@@ -118,20 +140,13 @@ class CrawlEngine:
         # (queue_db.py:18-19); rows are keyed by (run, url), and cross-run
         # history powers the --if-changed memoization (J4). Runs execute
         # sequentially per warehouse; RUN_STATE is per run.
-        os.makedirs(warehouse, exist_ok=True)
         self.root = warehouse
-        self.frontier = SnapshotTable(
-            spark, warehouse, "frontier", FRONTIER_SCHEMA,
-            key_cols=["run", "url"], partition_cols=["host_salt"],
-        )
-        self.politeness = SnapshotTable(
-            spark, warehouse, "politeness", POLITENESS_SCHEMA, key_cols=["host"]
-        )
-        self.payload = SnapshotTable(spark, warehouse, "payload", PAYLOAD_SCHEMA)
-        self.lineage = SnapshotTable(spark, warehouse, "lineage", LINEAGE_SCHEMA)
-        self.extraction = SnapshotTable(
-            spark, warehouse, "extraction", EXTRACTION_SCHEMA
-        )
+        tables = make_tables(spark, warehouse)
+        self.frontier = tables["frontier"]
+        self.politeness = tables["politeness"]
+        self.payload = tables["payload"]
+        self.lineage = tables["lineage"]
+        self.extraction = tables["extraction"]
         self.filters = FilterStore(
             os.path.join(warehouse, "_filters", config.run_name),
             config.bloom_capacity_per_bucket,

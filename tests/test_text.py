@@ -193,3 +193,28 @@ def test_bpe_token_count_expected_values(spark):
     }
     for i, (text, want) in enumerate(cases):
         assert got[i] == want, (text, got[i], want)
+
+
+def test_bpe_token_count_vertical_tab_parity(spark):
+    """\\x0B (vertical tab) parity between Java regex and RE2 (ADVICE r4):
+    BPE_TOKEN_RE now uses an explicit whitespace class, so both engines
+    put \\x0B in the punctuation run and agree on the count."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from par_scrape_spark.functions.text import BPE_TOKEN_RE, bpe_token_count_col
+
+    texts = ["a\x0bb", "\x0b", "x \x0b\ty", "it's\x0b done", "tab\there"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", bpe_token_count_col(F.col("text")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        (want,) = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, BPE_TOKEN_RE]
+        ).fetchone()
+        assert got[i] == want, (t, got[i], want)
