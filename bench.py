@@ -67,7 +67,11 @@ N_STEPS = int(os.environ.get("SPARK_GRAFT_BENCH_STEPS", "1"))
 PAIR = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_PAIR", "1,4").split(",")
 )
-ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
+# >=3 interleaved pairs (VERDICT r4 #1): under the documented ±40%
+# co-tenant variance a 2-pair median is hostage to one bad run — r4's
+# two 4-CPU runs spanned 123-168 s and dragged the recorded efficiency
+# under the bar while per-query timings all improved.
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
 # Secondary evidence: the BASELINE.json-mandated pairing measured
 # AS-SPECIFIED (unpinned local[N] slots, shared memory bus). "" skips.
 PAIR2 = tuple(
@@ -219,6 +223,7 @@ def query_timings() -> dict[str, float]:
         "d_simhash",
         "d_embed_near_dup",
         "d_embed_near_dup_or3",
+        "d_embed_near_dup_indexed",
         "c1_content_hash",
         "f14_output_folder",
         "m_image_features",
@@ -237,6 +242,20 @@ def query_timings() -> dict[str, float]:
     index_build = round(time.time() - t0, 3)
     qs = entrymod.queries()
     out = {"s_ann_index_build_oneoff": index_build}
+    # same treatment for the planted-union index behind
+    # d_embed_near_dup_indexed: build it (memoized) before the timing
+    # loop so the timed row measures the pair join over the stored
+    # layout, comparable to the recomputed path's row; record the
+    # one-off rewrite separately
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), "par_scrape_spark_embed_nd"),
+        ignore_errors=True,
+    )
+    t0 = time.time()
+    qs["d_embed_near_dup_indexed"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["d_embed_nd_index_build_oneoff"] = round(time.time() - t0, 3)
     for name in names:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
@@ -321,11 +340,97 @@ def ann_recall(m: int = 16, k: int = 10) -> dict:
             "probe_fraction": round(len(probe_buckets(0, 8, mh)) / 256, 4),
         }
     return {
-        "recall_at_k": curve[1]["recall"],
+        "recall_at_k": curve[2]["recall"],  # default operating point mh=2
         "k": k,
         "n_queries": m,
         "curve_by_max_hamming": curve,
     }
+
+
+def clustered_recall(
+    n_clusters: int = 64,
+    per: int = 256,
+    dim: int = 64,
+    noise: float = 0.05,
+    m: int = 16,
+    k: int = 10,
+) -> dict:
+    """Recall@k on a PLANTED-LOCALITY corpus (VERDICT r4 next #3): the
+    table-drawn recall number is honest but uninformative — the
+    synthetic embeddings are near-random, so neighbors sit near 90°
+    where sign bits decorrelate and ANY sublinear probe's recall is
+    geometry-bounded. Real similarity-search workloads have locality;
+    this corpus plants it (cluster members at sibling cosine ≈ 0.95,
+    the same construction as tests/test_ann.py) and reports recall vs
+    fraction-scanned on the REAL indexed probe path. The default
+    operating point (n_planes=8, max_hamming=2, 14.5% scanned) is
+    tuned to recall ≥ 0.8 here."""
+    import numpy as np
+
+    from par_scrape_spark.operators.ann import (
+        ann_cosine_topk_indexed,
+        build_ann_index,
+        hyperplanes,
+        probe_buckets,
+    )
+    from par_scrape_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench_queries",  # reuses the query-timing session
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    centers = hyperplanes(dim, n_clusters, seed=1234)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    noise_mat = hyperplanes(dim, n_clusters * per, seed=4321) * noise
+    vecs = np.repeat(centers, per, axis=0) + noise_mat
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    idx_dir = tempfile.mkdtemp(prefix="bench_clustered_ann_") + "/index"
+    try:
+        build_ann_index(df, idx_dir)
+        # m queries spread across clusters; numpy exact ground truth
+        # (bench ground truth, not a correctness oracle)
+        M = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qidx = [i * (n_clusters * per) // m for i in range(m)]
+        curve = {}
+        for mh in (1, 2):
+            hits = total = 0
+            for qi in qidx:
+                q = vecs[qi]
+                exact = set(
+                    np.argsort(-(M @ (q / np.linalg.norm(q))))[:k].tolist()
+                )
+                got = {
+                    r["vec_id"]
+                    for r in ann_cosine_topk_indexed(
+                        spark,
+                        idx_dir,
+                        [float(x) for x in q],
+                        k=k,
+                        max_hamming=mh,
+                    ).collect()
+                }
+                hits += len(got & exact)
+                total += k
+            curve[mh] = {
+                "recall": round(hits / total, 4),
+                "probe_fraction": round(len(probe_buckets(0, 8, mh)) / 256, 4),
+            }
+        return {
+            "corpus": f"{n_clusters}x{per} planted clusters, dim {dim}, "
+            f"sibling cosine ~0.95",
+            "k": k,
+            "n_queries": m,
+            "recall_at_default": curve[2]["recall"],
+            "scan_fraction_at_default": curve[2]["probe_fraction"],
+            "curve_by_max_hamming": curve,
+        }
+    finally:
+        shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)
 
 
 def main() -> None:
@@ -365,9 +470,20 @@ def main() -> None:
         }
     queries = query_timings()
     recall = ann_recall()
+    crecall = clustered_recall()
     speedup = med_high / med_low if med_low else 0
     ratio = high_cores / low_cores
     efficiency = round(speedup / ratio, 3)
+    # per-pair efficiencies: each interleaved (low, high) pair ran
+    # adjacent in time, so its ratio is robust to slow co-tenant drift;
+    # the spread across pairs is the published noise bound
+    per_pair = [
+        round(
+            (h["urls_per_sec"] / l["urls_per_sec"]) / ratio, 3
+        )
+        for l, h in zip(lows, highs)
+    ]
+    pair_spread = (min(per_pair), max(per_pair)) if per_pair else (None, None)
 
     here = os.path.dirname(os.path.abspath(__file__))
     os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
@@ -403,6 +519,17 @@ def main() -> None:
             f"Scaling {low_cores} -> {high_cores} CPUs: speedup {speedup:.2f}x over a "
             f"{ratio:.0f}x CPU ratio -> **efficiency {efficiency}** "
             "(north-rule target >= 0.8).\n\n"
+            f"Per-pair efficiencies (pair i = round-i low vs round-i "
+            f"high, adjacent in time): {per_pair} — spread "
+            f"[{pair_spread[0]}, {pair_spread[1]}]. The headline is the "
+            "ratio of medians over all "
+            f"{ROUNDS} pairs; single pairs carry the documented ±40% "
+            "co-tenant wall-clock variance.\n\n"
+            "**Canonical artifact**: the driver-run BENCH_r{N}.json is "
+            "authoritative for each round. This file is regenerated by "
+            "every bench.py invocation (including local runs at smaller "
+            "knobs); when its numbers differ from the latest "
+            "BENCH_r{N}.json, the artifact wins.\n\n"
             "Why N=1 vs 4N=4: this box's 32 SMT-free threads share ONE "
             "memory bus. The full pipeline scales 0.93 from 2 to 4 pinned "
             "CPUs but bends hard by 8 (292s / 157s / 123s at 2/4/8 CPUs, "
@@ -447,6 +574,20 @@ def main() -> None:
                 "scanned; widen max_hamming (or lower n_planes) to buy "
                 "recall with scan cost.\n"
             )
+            + (
+                f"\nClustered-corpus recall ({crecall['corpus']}; "
+                "indexed probe path, the workload similarity search "
+                "exists for):\n\n"
+                "| max_hamming | probe fraction | recall |\n|---|---|---|\n"
+                + "".join(
+                    f"| {mh} | {c['probe_fraction']} | {c['recall']} |\n"
+                    for mh, c in crecall["curve_by_max_hamming"].items()
+                )
+                + f"\nDefault operating point (n_planes=8, max_hamming=2): "
+                f"**recall@{crecall['k']} = {crecall['recall_at_default']} "
+                f"at {crecall['scan_fraction_at_default']:.1%} scanned** "
+                "(target >= 0.8 at <= 15%).\n"
+            )
         )
 
     print(
@@ -469,10 +610,13 @@ def main() -> None:
                         "budgets; 2x slot oversubscription; tmpfs warehouse"
                     ),
                     "efficiency": efficiency,
+                    "per_pair_efficiencies": per_pair,
+                    "pair_spread": pair_spread,
                 },
                 "scaling_secondary": sec,
                 "ann_recall_at_10": recall["recall_at_k"],
                 "ann_recall": recall,
+                "ann_clustered_recall": crecall,
             }
         )
     )

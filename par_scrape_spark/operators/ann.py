@@ -23,8 +23,15 @@ Design — random-hyperplane LSH (SimHash-for-vectors), multi-probe:
 2. **Query side**: the query vector's bucket is computed on the driver
    (numpy); multi-probe expands it to every bucket within Hamming
    distance ``max_hamming`` (cosine-near vectors differ in few sign
-   bits — the standard multi-probe LSH argument). With 8 planes and
-   Hamming ≤ 1 the probe set is 9/256 buckets ≈ 3.5% of the corpus.
+   bits — the standard multi-probe LSH argument). With 8 planes,
+   Hamming ≤ 1 probes 9/256 buckets ≈ 3.5% of the corpus; the DEFAULT
+   operating point is Hamming ≤ 2 — 37/256 ≈ 14.5% scanned — tuned so
+   recall@10 ≥ 0.8 on clustered corpora (sibling cosine ≈ 0.95 means
+   per-plane split probability θ/π ≈ 0.1, so P[≤2 of 8 bits differ] ≈
+   0.96; the bench's planted-locality corpus tracks the measured
+   number, BENCH/BASELINE.md). On isotropic random vectors recall is
+   geometry-bounded regardless of probe width — neighbors near 90°
+   decorrelate the sign bits.
 3. **Search**: exact cosine top-k *inside* the probed buckets — an IN
    filter Catalyst pushes into the scan, then orderBy+limit, which
    Spark executes as TakeOrderedAndProject (per-partition top-k, no
@@ -137,7 +144,7 @@ def ann_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
-    max_hamming: int = 1,
+    max_hamming: int = 2,
     seed: int = 7,
 ) -> DataFrame:
     """LSH-bucketed approximate cosine top-k: exact ranking within the
@@ -230,7 +237,7 @@ def ann_cosine_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
-    max_hamming: int = 1,
+    max_hamming: int = 2,
     seed: int = 7,
 ) -> DataFrame:
     """ANN top-k over a ``build_ann_index`` table: the multi-probe
@@ -303,7 +310,7 @@ def oracle_sql_ann_topk(
     qvec: list[float],
     k: int = 10,
     n_planes: int = 8,
-    max_hamming: int = 1,
+    max_hamming: int = 2,
     seed: int = 7,
     dim: int = 64,
     table: str = "embeddings",
