@@ -4,3 +4,4 @@ from par_scrape_spark.streaming.ingest import (  # noqa: F401
     stream_quality_scores,
 )
 from par_scrape_spark.streaming.politeness import politeness_gate  # noqa: F401
+from par_scrape_spark.streaming.crawl import stream_crawl  # noqa: F401

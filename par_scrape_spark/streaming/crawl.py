@@ -1,0 +1,98 @@
+"""Streaming crawl slice: politeness gate → fetch → payload append.
+
+VERDICT r4 next #4 promoted this from an integration test
+(tests/test_streaming_politeness.py::test_gated_stream_feeds_fetch,
+commit 61733b3) to an engine API: a user who wants the continuously-fed
+tier — a stream of (host, url) fetch requests flowing through the
+stateful per-host politeness gate, the real fetch/extract UDF, and the
+payload decode+phash stage into the snapshot store — gets it as one
+call instead of copying test plumbing.
+
+Relationship to the batch engine (plans/crawl.CrawlEngine): the batch
+superstep is the system of record — resumable snapshots, logical-tick
+determinism, frontier bookkeeping, seen-set filters. This streaming
+slice is the LOW-LATENCY INGEST tier over the same operators and the
+same payload table: politeness is enforced incrementally by keyed state
+(streaming/politeness.py — wall-clock by necessity: a stream has no
+superstep tick), fetch and decode are the identical mapInPandas
+operators the superstep uses, and every micro-batch lands as one
+snapshot-table append commit (each micro-batch is a static DataFrame,
+so the batch operators apply unchanged). Feed discoveries back through
+the batch engine's frontier when you need the crawl-ordering / seen-set
+guarantees; the stream makes no dedup or ordering promise beyond the
+politeness invariant (reference semantics: one fetch per host per
+crawl_delay window, queue_db.py:238-244,404-428).
+
+Scale: state shards by host key; per-host backlog is bounded
+(``max_pending``, overflow counted in the gate's ``dropped`` column);
+each micro-batch's fetch parallelism is ordinary Spark task
+parallelism over the emitted slots.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from par_scrape_spark.config import CrawlType, FetchOptions
+from par_scrape_spark.operators.links import fetch_extract
+from par_scrape_spark.operators.payload import fetch_decode_phash
+from par_scrape_spark.streaming.politeness import politeness_gate
+
+
+def stream_crawl(
+    request_stream: DataFrame,
+    warehouse: str,
+    run: str,
+    web_seed: int = 42,
+    crawl_type: CrawlType = CrawlType.SINGLE_PAGE,
+    crawl_delay_ms: int = 1000,
+    max_pending: int = 1000,
+    options: FetchOptions | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Start the politeness-gated streaming crawl; returns the running
+    ``StreamingQuery`` (caller owns its lifecycle — a
+    ProcessingTimeTimeout query never self-terminates, because the
+    empty clock-tick batches ARE the backlog-drain mechanism; stop it
+    with ``q.stop()`` when the feed is done).
+
+    ``request_stream``: a streaming DataFrame with ``host`` and ``url``
+    string columns (e.g. ``readStream`` over a parquet/kafka feed of
+    fetch requests). Each emitted fetch slot is fetched with the real
+    fetch UDF, successful pages run the fused image decode+phash stage,
+    and the rows append to the warehouse's ``payload`` snapshot table
+    (one commit per micro-batch; ``fetched_at`` carries the micro-batch
+    id — the stream's analogue of the superstep tick).
+    """
+    from par_scrape_spark.plans.crawl import make_tables
+
+    spark = request_stream.sparkSession
+    tables = make_tables(spark, warehouse)
+    payload = tables["payload"]
+    ck = checkpoint_dir or os.path.join(warehouse, "_streaming_ck", run)
+
+    gated = politeness_gate(
+        request_stream.select("host", "url"),
+        crawl_delay_ms=crawl_delay_ms,
+        max_pending=max_pending,
+    )
+
+    def _fetch_append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # clock-tick batches with no emissions
+            return
+        fetched = fetch_extract(
+            batch_df.select("host", "url"), web_seed, crawl_type, options=options
+        )
+        ok = fetched.filter(F.col("fetch_error").isNull())
+        rows = fetch_decode_phash(ok, run, web_seed, tick=int(batch_id))
+        payload.commit_append(rows)
+
+    return (
+        gated.writeStream.outputMode("update")
+        .foreachBatch(_fetch_append)
+        .option("checkpointLocation", ck)
+        .start()
+    )

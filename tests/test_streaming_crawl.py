@@ -1,0 +1,75 @@
+"""Engine API for the streaming tier (streaming/crawl.stream_crawl,
+VERDICT r4 next #4): politeness gate → real fetch UDF → payload
+decode+phash → snapshot-table append, as one call."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import types as T
+
+REQ_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+
+@pytest.mark.slow
+def test_stream_crawl_appends_payload(spark, tmp_path):
+    from par_scrape_spark.plans.crawl import make_tables
+    from par_scrape_spark.streaming import stream_crawl
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    spark.createDataFrame(
+        [
+            ("site-00001.example", "http://site-00001.example/page/1"),
+            ("site-00001.example", "http://site-00001.example/page/2"),
+            ("site-00002.example", "http://site-00002.example/page/1"),
+        ],
+        REQ_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    wh = str(tmp_path / "wh")
+    stream = spark.readStream.schema(REQ_SCHEMA).parquet(feed)
+    q = stream_crawl(
+        stream, wh, run="s1", web_seed=42, crawl_delay_ms=1
+    )
+    payload = make_tables(spark, wh)["payload"]
+    try:
+        deadline = time.monotonic() + 180
+        urls: set = set()
+        while time.monotonic() < deadline and len(urls) < 3:
+            snap = payload.latest_snapshot()
+            if snap is not None:
+                urls = {
+                    r["url"]
+                    for r in payload.read().select("url").distinct().collect()
+                }
+            time.sleep(1.0)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    # all three request URLs produced payload rows — the same-host pair
+    # drained across politeness rounds, the gate never dropped them
+    assert urls == {
+        "http://site-00001.example/page/1",
+        "http://site-00001.example/page/2",
+        "http://site-00002.example/page/1",
+    }
+    rows = payload.read().collect()
+    assert rows and all(r["run"] == "s1" for r in rows)
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], r)
+    # decode+phash ran: image rows carry bytes + a computed phash
+    assert all(r["bytes"] is not None for r in rows)
+    assert any(r["phash"] is not None for r in rows)
+    # the same-host URLs landed in DIFFERENT micro-batches (politeness
+    # deferral) — fetched_at carries the micro-batch id
+    t1 = by_url["http://site-00001.example/page/1"]["fetched_at"]
+    t2 = by_url["http://site-00001.example/page/2"]["fetched_at"]
+    assert t1 != t2
