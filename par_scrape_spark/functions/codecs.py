@@ -1,0 +1,202 @@
+"""Media-codec adapter contract (VERDICT r4 next #6).
+
+The sandbox carries no jpeg/webp/AV codecs, so the engine ships two
+kinds of decoder: REAL pure-numpy codecs (png, qdct —
+``functions/image.py``) and DETERMINISTIC FAKES (video demux, audio
+waveform — ``operators/multimodal.py``). A production user swaps the
+fakes for pyav/Pillow/soundfile on day one; this module is the written
+contract that swap must satisfy, plus conformance checks the in-repo
+decoders pass (``tests/test_codecs.py``) and any real adapter must pass
+before the engine will behave.
+
+## The three adapter signatures
+
+- **Image**: ``decode(data: bytes, fmt: str) -> np.ndarray`` returning
+  ``HxW`` (gray) or ``HxWx3`` (RGB) ``uint8``. ``formats`` names what
+  it accepts. The engine's per-row invariant (north-rule / C13) is
+  decoded-pixel fidelity: lossless formats must round-trip exactly;
+  lossy formats must reach PSNR ≥ 40 dB against the pre-encode pixels
+  (``functions/image.py:psnr``).
+- **Video**: ``decode(data: bytes, every_ms: int, max_frames: int) ->
+  Iterator[tuple[int, np.ndarray]]`` yielding ``(t_ms, HxWx3 uint8)``
+  in ascending ``t_ms``, at most ``max_frames`` frames, one per
+  ``every_ms`` sampling interval.
+- **Audio**: ``decode(data: bytes) -> tuple[np.ndarray, int]``
+  returning a float32 waveform in ``[-1, 1]`` and its sample rate.
+
+## Determinism requirement
+
+Same bytes → same output, across processes and executors. The engine
+replays work after failures and dedups on content derived from decoded
+pixels (phash); a decoder whose output varies (threaded
+nondeterminism, hardware paths) breaks replay determinism and phash
+stability. Conformance runs every decode twice and compares exactly.
+
+## Error taxonomy (maps to C8, ``policy.classify_error_message``)
+
+Decoders signal failure by RAISING; the engine's operators catch and
+classify. The contract:
+
+- unsupported-but-known format → ``NotImplementedError`` whose message
+  names the format and the supported set (so C8 classifies it
+  ``parsing`` and pipeline authors see the boundary, not a crash);
+- corrupt/undecodable payload → ``ValueError`` (C8: ``parsing``);
+- anything else escaping is an operator bug, not a data condition.
+
+Operators NEVER fail a task on a bad blob: image features return
+null-feature rows, video sampling yields zero frames, audio features
+return null rows — the error surface is per-row, matching the batch
+engine's per-URL error columns (L6).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Protocol, Tuple
+
+import numpy as np
+
+
+class ImageCodecAdapter(Protocol):
+    formats: frozenset
+
+    def decode(self, data: bytes, fmt: str) -> np.ndarray: ...
+
+
+class VideoDecodeAdapter(Protocol):
+    def decode(
+        self, data: bytes, every_ms: int, max_frames: int
+    ) -> Iterator[Tuple[int, np.ndarray]]: ...
+
+
+class AudioDecodeAdapter(Protocol):
+    def decode(self, data: bytes) -> Tuple[np.ndarray, int]: ...
+
+
+# ---------------------------------------------------------- default adapters
+
+
+class BuiltinImageCodec:
+    """The repo's pure-numpy codecs (png lossless, qdct lossy) behind
+    the adapter interface. jpeg/webp/avif raise NotImplementedError by
+    contract — a Pillow-backed adapter widens ``formats`` instead."""
+
+    formats = frozenset({"png", "qdct"})
+
+    def decode(self, data: bytes, fmt: str) -> np.ndarray:
+        from par_scrape_spark.functions.image import decode_image
+
+        return decode_image(data, fmt)
+
+
+class FakeVideoDecoder:
+    """The documented deterministic fake (operators/multimodal.py:
+    _fake_video_decode) behind the adapter interface."""
+
+    def decode(self, data: bytes, every_ms: int, max_frames: int):
+        from par_scrape_spark.operators.multimodal import _fake_video_decode
+
+        return _fake_video_decode(data, every_ms, max_frames)
+
+
+class FakeAudioDecoder:
+    """The documented deterministic fake (operators/multimodal.py:
+    _fake_audio_decode) behind the adapter interface."""
+
+    def decode(self, data: bytes):
+        from par_scrape_spark.operators.multimodal import _fake_audio_decode
+
+        return _fake_audio_decode(data)
+
+
+# ---------------------------------------------------------- conformance
+
+# Each checker raises AssertionError with a named clause on violation.
+# tests/test_codecs.py runs them over the in-repo decoders; a real
+# pyav/Pillow/soundfile adapter must pass the same calls.
+
+
+def check_image_adapter(
+    adapter: ImageCodecAdapter,
+    samples: list[tuple[bytes, str, np.ndarray]],
+    min_psnr_lossy: float = 40.0,
+    lossless: frozenset = frozenset({"png"}),
+) -> None:
+    """``samples``: (encoded_bytes, fmt, expected_pixels) triples.
+    Checks: shape/dtype contract, determinism, fidelity (exact for
+    lossless, PSNR >= 40 dB for lossy), error taxonomy."""
+    from par_scrape_spark.functions.image import psnr
+
+    for data, fmt, expect in samples:
+        assert fmt in adapter.formats, f"sample fmt {fmt!r} not in formats"
+        img = adapter.decode(data, fmt)
+        assert isinstance(img, np.ndarray) and img.dtype == np.uint8, (
+            f"{fmt}: decode must return uint8 ndarray"
+        )
+        assert img.ndim in (2, 3) and (img.ndim == 2 or img.shape[2] == 3), (
+            f"{fmt}: shape must be HxW or HxWx3, got {img.shape}"
+        )
+        img2 = adapter.decode(data, fmt)
+        assert np.array_equal(img, img2), f"{fmt}: decode is nondeterministic"
+        if fmt in lossless:
+            assert np.array_equal(img, expect), f"{fmt}: lossless round-trip"
+        else:
+            got_psnr = psnr(expect, img)
+            assert got_psnr >= min_psnr_lossy, (
+                f"{fmt}: PSNR {got_psnr:.1f} dB < {min_psnr_lossy} (C13)"
+            )
+    # taxonomy: a known-but-unsupported format must raise
+    # NotImplementedError naming the boundary, never decode garbage
+    unsupported = {"jpeg", "webp", "avif"} - set(adapter.formats)
+    for fmt in sorted(unsupported):
+        try:
+            adapter.decode(b"\x00\x01", fmt)
+        except NotImplementedError as e:
+            assert fmt in str(e), f"{fmt}: error must name the format"
+        except ValueError:
+            pass  # an adapter may treat it as unknown — also classified
+        else:
+            raise AssertionError(f"{fmt}: decode of unsupported fmt returned")
+
+
+def check_video_adapter(
+    adapter: VideoDecodeAdapter, blobs: list[bytes], every_ms: int = 500,
+    max_frames: int = 6,
+) -> None:
+    """Checks: frame tuple shape/dtype, ascending t_ms aligned to the
+    sampling grid, max_frames bound, determinism."""
+    for blob in blobs:
+        frames = list(adapter.decode(blob, every_ms, max_frames))
+        assert 1 <= len(frames) <= max_frames, len(frames)
+        last_t = -1
+        for t_ms, frame in frames:
+            assert isinstance(t_ms, int) and t_ms > last_t, "t_ms not ascending"
+            assert t_ms % every_ms == 0, "t_ms off the sampling grid"
+            last_t = t_ms
+            assert (
+                isinstance(frame, np.ndarray)
+                and frame.dtype == np.uint8
+                and frame.ndim == 3
+                and frame.shape[2] == 3
+            ), f"frame must be HxWx3 uint8, got {frame.shape} {frame.dtype}"
+        again = list(adapter.decode(blob, every_ms, max_frames))
+        assert len(again) == len(frames) and all(
+            t1 == t2 and np.array_equal(f1, f2)
+            for (t1, f1), (t2, f2) in zip(frames, again)
+        ), "video decode is nondeterministic"
+
+
+def check_audio_adapter(adapter: AudioDecodeAdapter, blobs: list[bytes]) -> None:
+    """Checks: float32 waveform in [-1, 1], positive sample rate,
+    determinism."""
+    for blob in blobs:
+        wave, sr = adapter.decode(blob)
+        assert isinstance(wave, np.ndarray) and wave.dtype == np.float32, (
+            "waveform must be float32"
+        )
+        assert wave.ndim == 1 and len(wave) > 0, "waveform must be 1-D non-empty"
+        assert float(np.abs(wave).max()) <= 1.0, "waveform out of [-1, 1]"
+        assert isinstance(sr, int) and sr > 0, "sample rate must be positive"
+        wave2, sr2 = adapter.decode(blob)
+        assert sr == sr2 and np.array_equal(wave, wave2), (
+            "audio decode is nondeterministic"
+        )

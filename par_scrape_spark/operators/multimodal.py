@@ -190,20 +190,31 @@ def video_frame_sample(
     max_frames: int = 8,
     id_col: str = "media_id",
     bytes_col: str = "bytes",
+    decoder=None,
 ) -> DataFrame:
     """1 video blob → N sampled frame rows (PNG-encoded), the
     frame-sample stage of a video curation pipeline. ``mapInPandas`` so
     the fan-out streams Arrow batches; undecodable blobs yield zero
-    rows rather than failing the task."""
+    rows rather than failing the task (L6 per-row error surface).
+
+    ``decoder``: a ``functions.codecs.VideoDecodeAdapter`` — the
+    documented swap seam for a real pyav/ffmpeg demuxer (must pass
+    ``codecs.check_video_adapter``); defaults to the deterministic
+    fake. The adapter object is closed over and pickled to executors,
+    so it must be picklable and stateless."""
 
     cols = [f.name for f in FRAME_SCHEMA.fields]
+    if decoder is None:
+        from par_scrape_spark.functions.codecs import FakeVideoDecoder
+
+        decoder = FakeVideoDecoder()
 
     def _gen(iterator):
         for pdf in iterator:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[bytes_col]):
                 try:
-                    for t_ms, frame in _fake_video_decode(
+                    for t_ms, frame in decoder.decode(
                         bytes(blob), every_ms, max_frames
                     ):
                         rows.append(
@@ -257,17 +268,26 @@ def _fake_audio_decode(data: bytes) -> tuple[np.ndarray, int]:
     return np.clip(wave, -1.0, 1.0).astype(np.float32), sr
 
 
-def audio_features_udf():
+def audio_features_udf(decoder=None):
     """Waveform statistics (quality-filter features for audio curation):
     duration, RMS, zero-crossing rate, peak. The real feature math runs
-    over the (fake-)decoded waveform."""
+    over the decoded waveform.
+
+    ``decoder``: a ``functions.codecs.AudioDecodeAdapter`` — the swap
+    seam for a real soundfile/librosa decoder (must pass
+    ``codecs.check_audio_adapter``); defaults to the deterministic
+    fake. Closed over and pickled to executors — keep it stateless."""
+    if decoder is None:
+        from par_scrape_spark.functions.codecs import FakeAudioDecoder
+
+        decoder = FakeAudioDecoder()
 
     @F.pandas_udf(AUDIO_FEATURE_SCHEMA)
     def _feat(data: pd.Series) -> pd.DataFrame:
         rows = []
         for b in data:
             try:
-                wave, sr = _fake_audio_decode(bytes(b))
+                wave, sr = decoder.decode(bytes(b))
                 w = wave.astype(np.float64)
                 zc = float(np.mean(np.abs(np.diff(np.signbit(w))) > 0))
                 rows.append(

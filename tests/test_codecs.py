@@ -1,0 +1,108 @@
+"""Media-codec adapter conformance (functions/codecs.py, VERDICT r4
+next #6): the written contract a real pyav/Pillow/soundfile adapter
+must pass — run here over the in-repo decoders (real png/qdct codecs,
+deterministic AV fakes) to prove the contract is satisfiable and the
+checks bite."""
+
+import numpy as np
+import pytest
+
+from par_scrape_spark.functions import codecs
+from par_scrape_spark.functions.image import encode_png, encode_qdct
+
+
+def _test_pixels():
+    rng = np.random.default_rng(3)
+    smooth = np.clip(
+        np.cumsum(rng.normal(0, 4, size=(32, 32, 3)), axis=1) + 128, 0, 255
+    ).astype(np.uint8)
+    flat = np.full((16, 24, 3), 77, dtype=np.uint8)
+    return [smooth, flat]
+
+
+def test_builtin_image_codec_conforms():
+    samples = []
+    for img in _test_pixels():
+        samples.append((encode_png(img), "png", img))
+        samples.append((encode_qdct(img), "qdct", img))
+    codecs.check_image_adapter(codecs.BuiltinImageCodec(), samples)
+
+
+def test_fake_video_decoder_conforms():
+    blobs = [b"video-blob-1", b"\x00" * 64, b"another one"]
+    codecs.check_video_adapter(codecs.FakeVideoDecoder(), blobs)
+
+
+def test_fake_audio_decoder_conforms():
+    blobs = [b"audio-blob-1", b"\xff" * 33]
+    codecs.check_audio_adapter(codecs.FakeAudioDecoder(), blobs)
+
+
+def test_conformance_rejects_bad_adapters():
+    """The checks must BITE: adapters violating determinism, range, or
+    the error taxonomy fail with a named clause."""
+
+    class NondeterministicVideo:
+        def __init__(self):
+            self.n = 0
+
+        def decode(self, data, every_ms, max_frames):
+            self.n += 1
+            frame = np.full((8, 8, 3), self.n % 251, dtype=np.uint8)
+            yield 0, frame
+
+    with pytest.raises(AssertionError, match="nondeterministic"):
+        codecs.check_video_adapter(NondeterministicVideo(), [b"x"])
+
+    class LoudAudio:
+        def decode(self, data):
+            return np.full(100, 2.0, dtype=np.float32), 16000
+
+    with pytest.raises(AssertionError, match=r"\[-1, 1\]"):
+        codecs.check_audio_adapter(LoudAudio(), [b"x"])
+
+    class SilentlyWrongImage:
+        formats = frozenset({"png", "jpeg"})
+
+        def decode(self, data, fmt):
+            # "decodes" jpeg by returning noise instead of raising
+            return np.zeros((4, 4, 3), dtype=np.uint8)
+
+    with pytest.raises(AssertionError, match="lossless"):
+        img = _test_pixels()[0]
+        codecs.check_image_adapter(
+            SilentlyWrongImage(), [(encode_png(img), "png", img)]
+        )
+
+
+def test_operators_accept_injected_adapters(spark):
+    """The seam is real: video_frame_sample/audio_features_udf run with
+    an injected conforming adapter, and its output shows up."""
+    from pyspark.sql import functions as F
+
+    from par_scrape_spark.operators.multimodal import (
+        audio_features_udf,
+        video_frame_sample,
+    )
+
+    class OneFrame:
+        def decode(self, data, every_ms, max_frames):
+            yield 0, np.full((4, 4, 3), len(data) % 251, dtype=np.uint8)
+
+    media = spark.createDataFrame(
+        [("m1", b"abc"), ("m2", b"defgh")], "media_id string, bytes binary"
+    )
+    frames = video_frame_sample(media, decoder=OneFrame()).collect()
+    assert {r["media_id"] for r in frames} == {"m1", "m2"}
+    assert all(r["frame_no"] == 0 and r["w"] == 4 for r in frames)
+
+    class Tone:
+        def decode(self, data):
+            return np.full(1600, 0.5, dtype=np.float32), 16000
+
+    feats = (
+        media.select(audio_features_udf(decoder=Tone())("bytes").alias("f"))
+        .select("f.*")
+        .collect()
+    )
+    assert all(r["duration_ms"] == 100 and r["peak"] == 0.5 for r in feats)
