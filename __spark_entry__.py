@@ -185,15 +185,27 @@ def q_w1_scheduler_pick(spark, sf_dir):
     # cached as the engine does: a superstep's frontier image is a
     # cached/localCheckpointed frame, so select_batch's probe count,
     # rank agg, and result job share one materialization instead of
-    # recomputing the scan->join->window chain three times
-    frontier = _frontier_shaped(spark, sf_dir).cache()
-    politeness = _politeness_shaped(spark, sf_dir, W1_TICK)
-    batch = select_batch(
-        frontier, politeness, "r", W1_TICK, W1_BATCH, retries=3
-    )
-    return batch.select("host", "url", "queued_seq", "parent_rank").orderBy(
-        "parent_rank"
-    )
+    # recomputing the scan->join->window chain three times.
+    # AQE off for the same reason CrawlEngine.__init__ disables it:
+    # this is a superstep-shaped micro-query (politeness-bounded batch,
+    # small shuffles by construction) where AQE's per-shuffle
+    # re-planning round trips dominate the job-count floor — the
+    # remaining seconds are 3 tiny jobs (pool probe, rank-stats agg,
+    # result) at fixed per-job latency, not data volume (PLANS.md
+    # §scheduler-floor).
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        frontier = _frontier_shaped(spark, sf_dir).cache()
+        politeness = _politeness_shaped(spark, sf_dir, W1_TICK)
+        batch = select_batch(
+            frontier, politeness, "r", W1_TICK, W1_BATCH, retries=3
+        )
+        return batch.select("host", "url", "queued_seq", "parent_rank").orderBy(
+            "parent_rank"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
 
 
 def q_w3_pool_prelimit(spark, sf_dir):
