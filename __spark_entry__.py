@@ -554,6 +554,22 @@ def q_d_minhash_pairs(spark, sf_dir):
     return minhash_near_dup_pairs(docs, text_col="text", id_col="doc_id")
 
 
+def q_d_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution (operators/dedup.py:dedup_clusters):
+    the minhash pair list collapsed to connected components with the
+    min-id survivor policy — (doc_id, cluster_id, keep) per involved
+    doc. The oracle is a DuckDB RECURSIVE CTE computing reachability
+    min-labels over the SAME independent-implementation pair literal
+    as d_minhash_pairs, so both the pairs and the clustering are
+    certified against second implementations."""
+    from par_scrape_spark.functions.text import minhash_near_dup_pairs
+    from par_scrape_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, text_col="text", id_col="doc_id")
+    return dedup_clusters(pairs, id_a="doc_a", id_b="doc_b").orderBy("doc_id")
+
+
 def q_t_lang_id(spark, sf_dir):
     """Heuristic n-gram language ID vs the labeled lang column (rows-only)."""
     from par_scrape_spark.functions.text import lang_id_udf, spread_small_input
@@ -902,6 +918,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_embed_topk": q_s_embed_topk,
     "d_simhash": q_d_simhash,
     "d_minhash_pairs": q_d_minhash_pairs,
+    "d_dedup_clusters": q_d_dedup_clusters,
     "d_ngram_jaccard": q_d_ngram_jaccard,
     "t_lang_id": q_t_lang_id,
     "c11_prune_markdown": q_c11_prune_markdown,
@@ -1129,6 +1146,23 @@ try:
     from oracle_literals import ORACLE_LITERALS
 
     ORACLES.update(ORACLE_LITERALS)
+    # d_dedup_clusters: a COMPUTED oracle over the independent pair
+    # literal — DuckDB recursive CTE derives each vertex's min
+    # reachable id (connected-component label), so both the pair
+    # generation (independent implementation) and the clustering
+    # (a second algorithm: transitive closure + MIN, vs the engine's
+    # iterative label propagation) are certified independently.
+    ORACLES["d_dedup_clusters"] = (
+        "WITH RECURSIVE pairs AS (" + ORACLE_LITERALS["d_minhash_pairs"] + "), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "walk(id, r) AS ("
+        "SELECT DISTINCT src, src FROM edges "
+        "UNION "
+        "SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src) "
+        "SELECT id AS doc_id, MIN(r) AS cluster_id, "
+        "id = MIN(r) AS keep FROM walk GROUP BY id"
+    )
 except ImportError:  # literals not generated yet: rows-only fallback
     pass
 

@@ -748,6 +748,84 @@ def embed_near_dup_pairs_indexed(
     return _bucketed_pairs(base, 1, n_planes, max_hamming, max_bucket, threshold)
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into KEEP/DROP decisions — the step every
+    near-dup family here (minhash text, phash image, embedding cosine,
+    fingerprint overlap) needs before a training-data pipeline can act:
+    pair lists overlap transitively (A~B, B~C), so the drop set is per
+    connected component, not per pair. Returns one row per id appearing
+    in any pair: (doc_id, cluster_id, keep) with ``cluster_id`` = the
+    component's minimum id and ``keep`` = (doc_id == cluster_id) — the
+    standard min-id survivor policy (deterministic, join-free to apply:
+    anti-join the corpus on keep=false ids).
+
+    Algorithm: min-label propagation (iterative hash-to-min) — each
+    round every vertex takes the min of its own label and its
+    neighbors' labels; converges in O(component diameter) rounds.
+    Near-dup components are small-diameter by construction (members
+    all within threshold of each other), so the loop is shallow;
+    ``max_iter`` bounds pathological chains, raising rather than
+    returning a half-converged labeling. Each round is ONE shuffle
+    (edges ⋈ labels on src, then groupBy id) over edge-cardinality
+    rows; labels are localCheckpointed per round to break lineage
+    (iterative chaining discipline, same as the frontier loop). At
+    10^10-pair scale the two-phase large-star/small-star variant
+    (Kiveris et al.) halves round count — this single-phase form keeps
+    the plan one-shuffle-per-round and is exact for any graph.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    edges = edges.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.select(
+                F.col("id").alias("src"), F.col("label").alias("cand")
+            ),
+            "src",
+        ).select(F.col("dst").alias("id"), "cand")
+        new = (
+            labels.select("id", F.col("label").alias("cand"))
+            .unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("cand").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(
+                labels.select("id", F.col("label").alias("old")), "id"
+            )
+            .filter(F.col("label") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(
+                F.col("id").alias("doc_id"),
+                F.col("label").alias("cluster_id"),
+                (F.col("id") == F.col("label")).alias("keep"),
+            )
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iter} rounds — component "
+        "diameter exceeds the bound; raise max_iter or pre-split the graph"
+    )
+
+
 def oracle_sql_embed_near_dup(
     threshold: float = 0.9,
     n_planes: int = 8,

@@ -219,3 +219,42 @@ def test_embed_near_dup_indexed_matches_recomputed(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) >= 5
+
+
+def test_dedup_clusters_transitive(spark):
+    """Pairs resolve to connected components with min-id survivor
+    policy: a chain A-B, B-C, C-D is ONE cluster even though A-D never
+    paired; disjoint pairs stay separate; every involved id appears
+    exactly once."""
+    from par_scrape_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        ["id_a", "id_b"],
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert set(rows) == {1, 2, 3, 4, 10, 11, 20, 21}
+    assert all(rows[i]["cluster_id"] == 1 for i in (1, 2, 3, 4))
+    assert all(rows[i]["cluster_id"] == 10 for i in (10, 11))
+    assert all(rows[i]["cluster_id"] == 20 for i in (20, 21))
+    keepers = {i for i, r in rows.items() if r["keep"]}
+    assert keepers == {1, 10, 20}
+
+
+def test_dedup_clusters_empty_and_bound(spark):
+    import pytest
+
+    from par_scrape_spark.operators.dedup import dedup_clusters
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty).count() == 0
+
+    # a 6-chain needs ~5 propagation rounds; max_iter=2 must raise
+    # rather than return a half-converged labeling
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_clusters(chain, max_iter=2)
+    ok = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(chain).collect()}
+    assert all(v == 1 for v in ok.values()) and len(ok) == 6
