@@ -783,7 +783,17 @@ def dedup_clusters(
     ).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
-    edges = edges.distinct().localCheckpoint(eager=True)
+    # partition the (static) edge set by join key ONCE and CACHE it:
+    # InMemoryRelation preserves the repartition's output partitioning
+    # for the planner (localCheckpoint does NOT — its ExistingRDD scan
+    # reports UnknownPartitioning and every round would re-shuffle the
+    # big side, verified on this Spark), so each propagation round's
+    # edges ⋈ labels join reuses the layout and only the labels side
+    # moves. The cache is pinned with one count and released before
+    # returning. Labels between rounds still use localCheckpoint —
+    # they CHANGE per round, so caching would accumulate entries.
+    edges = edges.distinct().repartition("src").persist()
+    edges.count()
 
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -815,11 +825,13 @@ def dedup_clusters(
         )
         labels = new
         if changed == 0:
+            edges.unpersist()
             return labels.select(
                 F.col("id").alias("doc_id"),
                 F.col("label").alias("cluster_id"),
                 (F.col("id") == F.col("label")).alias("keep"),
             )
+    edges.unpersist()
     raise RuntimeError(
         f"dedup_clusters did not converge in {max_iter} rounds — component "
         "diameter exceeds the bound; raise max_iter or pre-split the graph"
