@@ -1,0 +1,74 @@
+"""North-rule launch path: ``spark-submit --py-files`` driving the real
+CLI through ``spark_submit_main.py`` in a separate JVM — the cluster
+submission form, exercised end-to-end (session adoption, zip-shipped
+package imports, warehouse commit)."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files_crawl(tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    pkg_zip = str(tmp_path / "pkg.zip")
+    with zipfile.ZipFile(pkg_zip, "w") as zf:
+        pkg_root = os.path.join(repo, "par_scrape_spark")
+        for root, _dirs, files in os.walk(pkg_root):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                full = os.path.join(root, f)
+                zf.write(full, os.path.relpath(full, repo))
+
+    wh = str(tmp_path / "wh")
+    env = dict(os.environ)
+    # the shipped zip must satisfy the imports — drop the repo checkout
+    # from the child's import path so adoption-from-zip is what's tested
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master",
+            "local[4]",
+            "--py-files",
+            pkg_zip,
+            os.path.join(repo, "spark_submit_main.py"),
+            "scrape",
+            "http://site-00001.example",
+            "--warehouse",
+            wh,
+            "--run-name",
+            "submit-smoke",
+            "--crawl-type",
+            "single_page",
+            "--crawl-max-pages",
+            "1",
+        ],
+        env=env,
+        cwd=str(tmp_path),  # NOT the repo: imports must come from the zip
+        capture_output=True,
+        text=True,
+        timeout=500,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    # the CLI's one-line JSON result on stdout
+    result_lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+    ]
+    assert result_lines, proc.stdout[-2000:]
+    result = json.loads(result_lines[0])
+    assert result["run"] == "submit-smoke" and result["ok"] is True
+    assert result["pages"] == {"http://site-00001.example": "completed"}
+    # warehouse committed: run state + payload snapshot present
+    assert os.path.exists(os.path.join(wh, "RUN_STATE-submit-smoke.json"))
+    assert os.path.isdir(os.path.join(wh, "payload"))
