@@ -101,10 +101,17 @@ def add_to_queue(
 ) -> DataFrame:
     """Frontier rows to upsert for ``urls`` (queue_db.py:292-355):
     invalid URLs silently skipped; URLs already present are left alone
-    EXCEPT errored ones, which reset to queued; new URLs get consecutive
-    ``queued_seq`` after the current max. Commit the result with
+    EXCEPT errored ones, which reset to queued with their error payload
+    cleared (attempts survive); new URLs get consecutive ``queued_seq``
+    after the current max. Commit the result with
     ``frontier_table.commit_upsert`` — (run, url) is the upsert key, so
-    only the returned delta rows change."""
+    only the returned delta rows change.
+
+    Deviation from the reference: queue_db.py:345-350 also seeds the
+    ``domain_rate_limit`` row for each URL's host inside the same call;
+    here politeness seeding is a separate table with its own owners —
+    the engine seeds hosts at superstep start (plans/crawl J5), and the
+    standalone form is ``set_crawl_delay(politeness, host, 1)``."""
     spark = frontier.sparkSession
     canon: list[str] = []
     seen: set[str] = set()
@@ -155,8 +162,14 @@ def add_to_queue(
         parts.append(_align(fresh))
     errored = [u for u, s in status_of.items() if s == PageStatus.ERROR.value]
     if errored:
-        reset = existing.filter(F.col("url").isin(errored)).withColumn(
-            "status", F.lit(PageStatus.QUEUED.value)
+        # reference reset (queue_db.py:335-343): status AND the error
+        # payload clear; attempts are NOT reset — retry accounting
+        # survives a re-add
+        reset = (
+            existing.filter(F.col("url").isin(errored))
+            .withColumn("status", F.lit(PageStatus.QUEUED.value))
+            .withColumn("error_type", F.lit(None).cast("string"))
+            .withColumn("error_msg", F.lit(None).cast("string"))
         )
         parts.append(_align(reset))
     if not parts:
@@ -175,12 +188,21 @@ def get_next_urls(
     scrape_retries: int = 3,
     respect_rate_limits: bool = True,
     tick: int = 0,
-) -> list[str]:
+    with_deltas: bool = False,
+):
     """The reference's scheduler query (queue_db.py:358-466) over the
     frontier DataFrame: politeness-gated, one-per-host, deterministic
     order. Returns URLs in batch order (parent_rank). The engine's
     superstep calls ``operators.scheduler.select_batch`` directly and
-    never collects; this list-returning form is the compat surface."""
+    never collects; this list-returning form is the compat surface.
+
+    The reference call ALSO mutates in the same transaction: selected
+    rows go active with attempts+1 and a processing timestamp
+    (queue_db.py:450-460), and each selected host's ``last_access``
+    advances (queue_db.py:424-432). ``with_deltas=True`` returns
+    ``(urls, frontier_delta, politeness_delta)`` carrying those two
+    updates as upsert rows — commit them to reproduce the reference's
+    post-call state; the default returns just the list (read-only)."""
     batch = select_batch(
         frontier,
         politeness,
@@ -190,8 +212,41 @@ def get_next_urls(
         retries=scrape_retries,
         respect_rate_limits=respect_rate_limits,
     )
-    rows = batch.select("url", "parent_rank").orderBy("parent_rank").collect()
-    return [r["url"] for r in rows]
+    if not with_deltas:
+        rows = batch.select("url", "parent_rank").orderBy("parent_rank").collect()
+        return [r["url"] for r in rows]
+
+    rows = batch.orderBy("parent_rank").collect()
+    urls = [r["url"] for r in rows]
+    spark = frontier.sparkSession
+    if not rows:
+        return urls, _align(
+            spark.createDataFrame([], FRONTIER_SCHEMA)
+        ), spark.createDataFrame([], POLITENESS_SCHEMA)
+    f_delta = (
+        frontier.filter(
+            (F.col("run") == run) & (F.col("url").isin(urls))
+        )
+        .withColumn("status", F.lit(PageStatus.ACTIVE.value))
+        .withColumn("attempts", (F.col("attempts") + 1).cast("int"))
+        .withColumn("last_processed_at", F.lit(tick).cast("long"))
+    )
+    hosts = sorted({r["host"] for r in rows if r["host"] is not None})
+    p_delta = (
+        politeness.filter(F.col("host").isin(hosts))
+        .withColumn("last_access", F.lit(tick).cast("long"))
+    )
+    # hosts with no politeness row yet get a fresh default row
+    present = {r["host"] for r in p_delta.select("host").collect()}
+    missing = [h for h in hosts if h not in present]
+    if missing:
+        p_delta = p_delta.unionByName(
+            spark.createDataFrame(
+                [(h, tick, 1, None, False, True) for h in missing],
+                POLITENESS_SCHEMA,
+            )
+        )
+    return urls, _align(f_delta), p_delta
 
 
 def _update_row(

@@ -120,10 +120,13 @@ def test_add_to_queue_resets_errored(spark):
     )
     e = errored.collect()[0]
     assert e["status"] == "error" and e["attempts"] == 1
-    # re-adding an errored URL resets it to queued, keeping its seq
+    # re-adding an errored URL resets it to queued with the error
+    # payload cleared, keeping its seq and attempts (queue_db.py:335-343)
     reset = crawl.add_to_queue(errored, "t1", ["http://a.example/x"])
     r = reset.collect()[0]
     assert r["status"] == "queued" and r["queued_seq"] == 0
+    assert r["error_type"] is None and r["error_msg"] is None
+    assert r["attempts"] == 1
 
 
 def test_mark_complete_file_refs(spark):
@@ -209,3 +212,37 @@ def test_get_url_output_folder_matches_column(spark):
     }
     for u in urls:
         assert crawl.get_url_output_folder("", "t1", u) == col_vals[u], u
+
+
+def test_get_next_urls_with_deltas(spark):
+    """with_deltas reproduces the reference's same-transaction side
+    effects (queue_db.py:424-432,450-460): selected rows go active with
+    attempts+1, selected hosts' last_access advances, unknown hosts get
+    a fresh default politeness row."""
+    from par_scrape_spark.schemas import POLITENESS_SCHEMA
+
+    frontier = crawl.add_to_queue(
+        _empty_frontier(spark),
+        "t1",
+        ["http://a.example/one", "http://b.example/two"],
+    )
+    politeness = spark.createDataFrame(
+        [("a.example", 0, 3, None, False, True)], POLITENESS_SCHEMA
+    )
+    urls, f_delta, p_delta = crawl.get_next_urls(
+        frontier, politeness, "t1", crawl_batch_size=2, tick=9,
+        with_deltas=True,
+    )
+    assert urls == ["http://a.example/one", "http://b.example/two"]
+    fr = {r["url"]: r for r in f_delta.collect()}
+    assert all(
+        r["status"] == "active"
+        and r["attempts"] == 1
+        and r["last_processed_at"] == 9
+        for r in fr.values()
+    )
+    pr = {r["host"]: r for r in p_delta.collect()}
+    assert pr["a.example"]["last_access"] == 9
+    assert pr["a.example"]["crawl_delay"] == 3  # existing row preserved
+    assert pr["b.example"]["last_access"] == 9  # fresh default row
+    assert pr["b.example"]["crawl_delay"] == 1 and pr["b.example"]["allow_all"]
