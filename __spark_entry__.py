@@ -570,6 +570,20 @@ def q_d_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs, id_a="doc_a", id_b="doc_b").orderBy("doc_id")
 
 
+def q_d_drop_near_dups(spark, sf_dir):
+    """The dedup chain's last step (operators/dedup.py:drop_near_dups):
+    documents surviving after minhash pairs → components → min-id
+    keepers; near-dup losers anti-joined out, uninvolved docs pass
+    through."""
+    from par_scrape_spark.functions.text import minhash_near_dup_pairs
+    from par_scrape_spark.operators.dedup import dedup_clusters, drop_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, text_col="text", id_col="doc_id")
+    clusters = dedup_clusters(pairs, id_a="doc_a", id_b="doc_b")
+    return drop_near_dups(docs.select("doc_id"), clusters).orderBy("doc_id")
+
+
 def q_t_lang_id(spark, sf_dir):
     """Heuristic n-gram language ID vs the labeled lang column (rows-only)."""
     from par_scrape_spark.functions.text import lang_id_udf, spread_small_input
@@ -919,6 +933,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_simhash": q_d_simhash,
     "d_minhash_pairs": q_d_minhash_pairs,
     "d_dedup_clusters": q_d_dedup_clusters,
+    "d_drop_near_dups": q_d_drop_near_dups,
     "d_ngram_jaccard": q_d_ngram_jaccard,
     "t_lang_id": q_t_lang_id,
     "c11_prune_markdown": q_c11_prune_markdown,
@@ -1162,6 +1177,19 @@ try:
         "SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src) "
         "SELECT id AS doc_id, MIN(r) AS cluster_id, "
         "id = MIN(r) AS keep FROM walk GROUP BY id"
+    )
+    # the apply step: documents minus the component non-survivors
+    ORACLES["d_drop_near_dups"] = (
+        "WITH RECURSIVE pairs AS (" + ORACLE_LITERALS["d_minhash_pairs"] + "), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "walk(id, r) AS ("
+        "SELECT DISTINCT src, src FROM edges "
+        "UNION "
+        "SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src), "
+        "losers AS (SELECT id FROM walk GROUP BY id HAVING id <> MIN(r)) "
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id NOT IN (SELECT id FROM losers)"
     )
 except ImportError:  # literals not generated yet: rows-only fallback
     pass

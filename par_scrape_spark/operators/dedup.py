@@ -838,6 +838,22 @@ def dedup_clusters(
     )
 
 
+def drop_near_dups(
+    corpus: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply ``dedup_clusters`` decisions to a corpus: anti-join out the
+    non-keepers. The drop set is (cluster members − survivors) — far
+    smaller than the corpus — so Catalyst typically broadcasts it; no
+    forced broadcast because at 10^10 a pathological near-dup rate can
+    make it large, and the planner's shuffle fallback is the safe
+    degradation. Rows never involved in any pair pass through
+    untouched."""
+    losers = clusters.filter(~F.col("keep")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return corpus.join(losers, id_col, "left_anti")
+
+
 def oracle_sql_embed_near_dup(
     threshold: float = 0.9,
     n_planes: int = 8,

@@ -258,3 +258,16 @@ def test_dedup_clusters_empty_and_bound(spark):
         dedup_clusters(chain, max_iter=2)
     ok = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(chain).collect()}
     assert all(v == 1 for v in ok.values()) and len(ok) == 6
+
+
+def test_drop_near_dups_applies_keepers(spark):
+    from par_scrape_spark.operators.dedup import dedup_clusters, drop_near_dups
+
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], ["id_a", "id_b"])
+    clusters = dedup_clusters(pairs)
+    corpus = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], ["doc_id"]
+    )
+    kept = {r["doc_id"] for r in drop_near_dups(corpus, clusters).collect()}
+    # component mins survive, other members drop, uninvolved 99 passes
+    assert kept == {1, 10, 99}
