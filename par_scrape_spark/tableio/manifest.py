@@ -24,10 +24,16 @@ manifest pins one snapshot id per table and is written last.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
 import uuid
+
+try:  # POSIX writer mutex; absent on non-POSIX (see _commit_lock)
+    import fcntl
+except ImportError:  # pragma: no cover
+    fcntl = None
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,6 +80,41 @@ class SnapshotTable:
         os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
 
     # ------------------------------------------------------------ manifests
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """Writer mutex around read-LATEST → write-manifest → swap-LATEST.
+
+        Without it two concurrent writers (the streaming tier's
+        foreachBatch append + a batch engine commit on the same
+        warehouse) can both read LATEST=n and both write manifest-(n+1)
+        — the loser's data dir is written but falls out of the lineage
+        (lost update). ``flock`` serializes writers across processes
+        and threads on a local/NFS filesystem — this sandbox's world.
+        On an object store there is no flock; there the compare-and-swap
+        belongs to a catalog (Hive/Iceberg metastore, a DynamoDB-style
+        lock), which is exactly the seam this method is — swap the
+        body, keep the contract: at most one commit resolves against a
+        given LATEST. Non-POSIX fallback is lock-free single-writer
+        (documented, not silent: a warning names the risk once)."""
+        if fcntl is None:  # pragma: no cover
+            import warnings
+
+            warnings.warn(
+                "fcntl unavailable: snapshot commits are not "
+                "concurrent-writer safe on this platform",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            yield
+            return
+        path = os.path.join(self._manifest_dir, "COMMIT.lock")
+        with open(path, "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
 
     def _manifest_path(self, snapshot: int) -> str:
         return os.path.join(self._manifest_dir, f"manifest-{snapshot:08d}.json")
@@ -142,25 +183,38 @@ class SnapshotTable:
 
     def commit_overwrite(self, df: DataFrame) -> int:
         rel = self._write_dir(df, partitioned=True)
-        return self._commit({"base_dirs": [rel], "delta_dirs": []})
+        with self._commit_lock():
+            return self._commit({"base_dirs": [rel], "delta_dirs": []})
 
     def commit_append(self, df: DataFrame, parent: int | None = USE_LATEST) -> int:
-        prev = self._parent_manifest(parent)
+        # the slow part (parquet write) happens OUTSIDE the lock; only
+        # parent resolution + the manifest/LATEST swap are serialized,
+        # so a USE_LATEST append always chains from the true latest
+        # even with a concurrent writer
         rel = self._write_dir(df, partitioned=True)
-        return self._commit(
-            {"base_dirs": prev["base_dirs"] + [rel], "delta_dirs": prev["delta_dirs"]}
-        )
+        with self._commit_lock():
+            prev = self._parent_manifest(parent)
+            return self._commit(
+                {
+                    "base_dirs": prev["base_dirs"] + [rel],
+                    "delta_dirs": prev["delta_dirs"],
+                }
+            )
 
     def commit_upsert(self, df: DataFrame, parent: int | None = USE_LATEST) -> int:
         """Merge-on-read upsert: ``df`` holds full replacement rows, unique
         per key. Readers resolve latest-wins; ``compact()`` folds deltas."""
         if not self.key_cols:
             raise ValueError(f"table {self.name} has no key_cols; use append/overwrite")
-        prev = self._parent_manifest(parent)
         rel = self._write_dir(df, partitioned=False)
-        return self._commit(
-            {"base_dirs": prev["base_dirs"], "delta_dirs": prev["delta_dirs"] + [rel]}
-        )
+        with self._commit_lock():
+            prev = self._parent_manifest(parent)
+            return self._commit(
+                {
+                    "base_dirs": prev["base_dirs"],
+                    "delta_dirs": prev["delta_dirs"] + [rel],
+                }
+            )
 
     # ------------------------------------------------------------ reads
 
