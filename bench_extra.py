@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Per-query measurement harness for optimization work (guide §1.4):
+times individual queries() entries with the noop sink, repeats, and can
+dump .explain('formatted') plans. bench.py stays FROZEN; this file is
+where optimization-round numbers come from.
+
+Usage:
+  python bench_extra.py time  [--sf DIR] [--repeats N] [name ...]
+  python bench_extra.py plan  [--sf DIR] [--out DIR] [name ...]
+
+Defaults: SF from $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1; session
+mirrors bench.py query_timings (local[$SPARK_GRAFT_CPUS], shuffle
+partitions = cpus, AQE on, same warmups).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(sf_dir: str):
+    import __spark_entry__ as entrymod
+    from par_scrape_spark.session import get_spark
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    spark = get_spark(
+        app_name="bench_extra",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    @_pudf("double")
+    def _warm(v):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        return v * 1.0
+
+    spark.range(CPUS * 64).repartition(CPUS * 2).select(
+        _warm(_F.col("id").cast("double"))
+    ).write.format("noop").mode("overwrite").save()
+    for _t in ("events", "documents", "embeddings"):
+        _p = os.path.join(sf_dir, f"{_t}.parquet")
+        if os.path.exists(_p):
+            spark.read.parquet(_p).write.format("noop").mode("overwrite").save()
+    return spark, entrymod
+
+
+def ensure_indexes(spark, entrymod, sf_dir: str) -> dict[str, float]:
+    out = {}
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), "par_scrape_spark_ann"),
+        ignore_errors=True,
+    )
+    t0 = time.time()
+    entrymod.ensure_ann_index(spark, sf_dir)
+    out["s_ann_index_build_oneoff"] = round(time.time() - t0, 3)
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), "par_scrape_spark_embed_nd"),
+        ignore_errors=True,
+    )
+    qs = entrymod.queries()
+    t0 = time.time()
+    qs["d_embed_near_dup_indexed"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["d_embed_nd_index_build_oneoff"] = round(time.time() - t0, 3)
+    return out
+
+
+DEFAULT_NAMES = [
+    "j1_politeness_join",
+    "j2_seen_anti_join",
+    "w1_scheduler_pick",
+    "j4_latest_by_key",
+    "d_exact_dedup",
+    "t_token_count",
+    "s_embed_topk",
+    "s_cosine_topk",
+    "s_ann_topk",
+    "d_minhash_pairs",
+    "d_simhash",
+    "d_embed_near_dup",
+    "d_embed_near_dup_or3",
+    "d_embed_near_dup_indexed",
+    "c1_content_hash",
+    "f14_output_folder",
+    "m_image_features",
+]
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "time"
+    args = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = 1
+    out_dir = "plans/r06"
+    names = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--sf":
+            sf_dir = args[i + 1]
+            i += 2
+        elif args[i] == "--repeats":
+            repeats = int(args[i + 1])
+            i += 2
+        elif args[i] == "--out":
+            out_dir = args[i + 1]
+            i += 2
+        else:
+            names.append(args[i])
+            i += 1
+    if not names:
+        names = list(DEFAULT_NAMES)
+
+    spark, entrymod = get_session(sf_dir)
+    qs = entrymod.queries()
+
+    if mode == "plan":
+        os.makedirs(out_dir, exist_ok=True)
+        ensure_indexes(spark, entrymod, sf_dir)
+        for name in names:
+            df = qs[name](spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            path = os.path.join(out_dir, f"{name}.txt")
+            with open(path, "w") as f:
+                f.write(plan)
+            print(f"wrote {path}")
+        return
+
+    results: dict[str, list[float]] = {}
+    idx = ensure_indexes(spark, entrymod, sf_dir)
+    for k, v in idx.items():
+        results[k] = [v]
+    for r in range(repeats):
+        for name in names:
+            spark.sparkContext.setJobDescription(f"bench_extra:{name}#{r}")
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            results.setdefault(name, []).append(round(time.time() - t0, 3))
+            spark.sparkContext.setJobDescription(None)
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "cpus": CPUS,
+                "min": {k: min(v) for k, v in results.items()},
+                "samples": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Generate an sf1.0-SHAPED measurement dataset by replicating sf0.1
+10x with structure-preserving perturbations (measurement only — NOT
+oracle data; the driver generates its own sf1.0).
+
+Replica k of each table shifts ids into a disjoint range; text columns
+get a per-replica Caesar shift (so cross-replica near-dup structure is
+empty and per-replica structure mirrors sf0.1); embedding vectors get
+np.roll(vec, k) (random iid components -> rolled copies are near-
+orthogonal, so no artificial cosine-1.0 near-dup pairs).
+
+Usage: python scripts/gen_bigsf.py [out_dir] [factor]
+"""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/sfbig"
+FACTOR = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+
+def caesar(texts, k):
+    if k == 0:
+        return texts
+    table = str.maketrans(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "abcdefghijklmnopqrstuvwxyz"[k % 26:] + "abcdefghijklmnopqrstuvwxyz"[: k % 26]
+        + "ABCDEFGHIJKLMNOPQRSTUVWXYZ"[k % 26:] + "ABCDEFGHIJKLMNOPQRSTUVWXYZ"[: k % 26],
+    )
+    return [t.translate(table) if t is not None else None for t in texts]
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for name in ["region", "nation", "supplier", "part", "lineitem"]:
+        src = os.path.join(SRC, f"{name}.parquet")
+        if os.path.exists(src):
+            dst = os.path.join(OUT, f"{name}.parquet")
+            if not os.path.exists(dst):
+                import shutil
+
+                shutil.copy2(src, dst)
+
+    specs = {
+        # table: (id cols to shift by k*range, text cols, vec cols)
+        "documents": (["doc_id"], ["text"], []),
+        "events": (["event_id", "user_id"], [], []),
+        "orders": (["o_orderkey", "o_custkey"], [], []),
+        "customer": (["c_custkey"], [], []),
+        "embeddings": (["vec_id"], [], ["embedding"]),
+    }
+    # o_custkey must shift by the same span as c_custkey so per-replica
+    # joins keep the sf0.1 match structure
+    cust = pq.read_table(os.path.join(SRC, "customer.parquet"))
+    cust_span = int(pa.compute.max(cust["c_custkey"]).as_py()) + 1
+    for name, (id_cols, text_cols, vec_cols) in specs.items():
+        src = os.path.join(SRC, f"{name}.parquet")
+        t = pq.read_table(src)
+        n = t.num_rows
+        spans = {c: int(pa.compute.max(t[c]).as_py()) + 1 for c in id_cols}
+        if name == "orders":
+            spans["o_custkey"] = cust_span
+        reps = []
+        for k in range(FACTOR):
+            cols = {}
+            for c in t.column_names:
+                arr = t[c]
+                if c in id_cols:
+                    cols[c] = pa.compute.add(arr, k * spans[c])
+                elif c in text_cols:
+                    cols[c] = pa.array(caesar(arr.to_pylist(), k))
+                elif c in vec_cols:
+                    mat = np.array(arr.to_pylist(), dtype=np.float64)
+                    cols[c] = pa.array(np.roll(mat, k, axis=1).tolist(),
+                                       type=arr.type)
+                else:
+                    cols[c] = arr
+            reps.append(pa.table(cols))
+        big = pa.concat_tables(reps)
+        pq.write_table(big, os.path.join(OUT, f"{name}.parquet"))
+        print(f"{name}: {n} -> {big.num_rows}")
+
+
+if __name__ == "__main__":
+    main()
