@@ -256,10 +256,11 @@ def phash64(img: np.ndarray) -> int:
     ac = coeffs[1:]
     threshold = np.median(ac) + 0.05 * np.std(ac)
     bits = coeffs > threshold
-    val = np.uint64(0)
-    for i, b in enumerate(bits):
-        if b:
-            val |= np.uint64(1) << np.uint64(i)
+    # vectorized bit pack (bit i set iff bits[i]) — same value as the
+    # former per-bit Python loop
+    val = (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        dtype=np.uint64
+    )
     return int(val.astype(np.int64))
 
 

@@ -383,14 +383,30 @@ def dedup_new_urls(
     positives take a left-anti join against the frontier keys on
     ``(run, url_hash, url)``. Join on the hash first keeps the comparison
     cheap; the url column rides along to make hash collisions harmless.
+
+    The anti-join carries a SHUFFLE_HASH hint: sort-merge pays a full
+    sort of the frontier keys on every call, while the shuffled hash
+    join builds a per-partition map and streams candidates through it
+    (measured 1.3s -> 0.6s on a 1.5M-key frontier, guide §3.1). The
+    planner never picks SHJ statically here because the build side
+    (frontier) is the LARGER side; the hint is safe at scale because the
+    per-partition build is bounded — the key is a uniformly distributed
+    xxhash64, so AQE's advisory partition sizing caps each partition's
+    share of the frontier regardless of total frontier size.
     """
     if store is not None:
         probed = store.probe_udf_cols(candidates, filter_step)
         definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        survivors = maybe.join(frontier_keys, ["run", "url_hash", "url"], "left_anti")
+        survivors = maybe.join(
+            frontier_keys.hint("shuffle_hash"),
+            ["run", "url_hash", "url"],
+            "left_anti",
+        )
         return definite_new.unionByName(survivors)
-    return candidates.join(frontier_keys, ["run", "url_hash", "url"], "left_anti")
+    return candidates.join(
+        frontier_keys.hint("shuffle_hash"), ["run", "url_hash", "url"], "left_anti"
+    )
 
 
 # ---------------------------------------------------------------- J8 phash
@@ -566,11 +582,7 @@ def embed_near_dup_pairs(
 
     Returns (id_a, id_b, cosine) with cosine rounded to 6 places.
     """
-    from par_scrape_spark.operators.ann import (
-        hyperplanes,
-        lsh_bucket_col,
-        probe_buckets,
-    )
+    from par_scrape_spark.operators.ann import bucket_norm_udf, hyperplanes
 
     dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     if not dim_row:
@@ -596,21 +608,28 @@ def embed_near_dup_pairs(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
-    for t in range(n_tables):
-        base = base.withColumn(
-            f"_bucket{t}",
-            lsh_bucket_col("_v", hyperplanes(dim, n_planes, seed + t)),
-        )
-    # per-VECTOR norm, computed once here rather than once per candidate
-    # pair in the verify (the candidates outnumber the vectors by the
-    # in-bucket pair fan-out); same fold as the oracle's sqrt(dot(e,e))
-    base = base.withColumn(
-        "_n", F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x))
+    # buckets for every OR-table + the per-vector norm in ONE Arrow
+    # pass (bucket_norm_udf): the per-row interpreted plane folds were
+    # the base pass's dominant cost (2.6s -> <0.5s for 3 tables over
+    # 20k vectors); the kernel's accumulation order is bit-identical to
+    # the folds and the oracle's sequential list_dot_product. Norm is
+    # computed once per vector rather than once per candidate pair (the
+    # candidates outnumber the vectors by the in-bucket fan-out).
+    plane_sets = tuple(
+        hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
     )
-    # exchange barrier: the bucket/norm folds above are expensive
-    # higher-order expressions — without the barrier Catalyst inlines
-    # them into every downstream reference (sizes agg, both join sides,
-    # each explode entry) and they re-evaluate per reference
+    base = base.withColumn(
+        "_bn", bucket_norm_udf(plane_sets)(F.col("_v"))
+    ).select(
+        "_id",
+        "_v",
+        *[F.col(f"_bn._bucket{t}").alias(f"_bucket{t}") for t in range(n_tables)],
+        F.col("_bn._n").alias("_n"),
+    )
+    # exchange barrier: without it Catalyst would inline the UDF struct
+    # into every downstream reference (sizes agg, both join sides, each
+    # explode entry) and re-evaluate it per reference; with it both
+    # join sides reuse ONE exchange
     base = base.repartition("_id")
     return _bucketed_pairs(
         base, n_tables, n_planes, max_hamming, max_bucket, threshold
@@ -796,16 +815,20 @@ def embed_near_dup_pairs_indexed(
         reader = reader.schema(T.StructType.fromJson(_json.loads(schema_text)))
     indexed = reader.option("basePath", base_path).parquet(base_path)
 
+    from par_scrape_spark.operators.ann import bucket_norm_udf
+
     base = indexed.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
         F.col("bucket").cast("int").alias("_bucket0"),
     )
+    # norm via the vectorized Arrow kernel (no plane sets — the stored
+    # bucket column replaces them); bit-equal to the old fold
     base = base.withColumn(
-        "_n", F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x))
+        "_n", bucket_norm_udf((), want_norm=True)(F.col("_v"))["_n"]
     )
-    # same exchange barrier as the recomputed path: the norm fold would
-    # otherwise be re-inlined into both join sides and the explode
+    # same exchange barrier as the recomputed path: the norm kernel
+    # would otherwise be re-inlined into both join sides and the explode
     base = base.repartition("_id")
     return _bucketed_pairs(base, 1, n_planes, max_hamming, max_bucket, threshold)
 

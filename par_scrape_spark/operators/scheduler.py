@@ -38,6 +38,14 @@ from pyspark.sql import functions as F
 from par_scrape_spark.config import CANDIDATE_POOL_FACTOR, CANDIDATE_POOL_MIN, PageStatus
 from par_scrape_spark.operators.ranking import dense_rank_parallel_with_count
 
+# Below this many one-per-host candidates the batch rank runs as a
+# single-partition window (a sub-millisecond sort riding the result
+# job) instead of the 3-job parallel dense rank; above it, the parallel
+# rank keeps the sort distributed. An algorithm switch on measured
+# cardinality, not a local-mode tune: 2^17 rows is a trivial single-task
+# sort on any executor, web-scale host counts take the parallel path.
+SINGLE_PARTITION_RANK_MAX = 1 << 17
+
 
 def eligible_rows(frontier: DataFrame, run: str, retries: int) -> DataFrame:
     """F8: queued rows plus retryable errored rows."""
@@ -112,15 +120,27 @@ def select_batch_with_count(
     pool_size = max(batch_size * CANDIDATE_POOL_FACTOR, CANDIDATE_POOL_MIN)
     if eligible_upper is not None and eligible_upper <= pool_size:
         pool = joined  # proven: the cut cannot trigger; skip the probe
+    elif pool_size <= 100_000:
+        # probe + materialize fused into ONE job (was two: a LIMIT
+        # pool+1 count over the full frontier, then a separate
+        # TakeOrdered + checkpoint when the cut triggered):
+        # TakeOrdered(pool+1) is simultaneously the cut probe (did more
+        # than pool_size rows survive?) and, when the cut does NOT
+        # trigger, the complete eligible set — identical to ``joined``
+        # as a set. Every downstream job (stats agg, rank, result) then
+        # reads the checkpointed rows instead of re-running the
+        # scan -> broadcast-join chain. Guarded by pool size: top-k
+        # merges on the driver, so million-row pools keep the lazy
+        # probe path below.
+        top = joined.orderBy(*order).limit(pool_size + 1).localCheckpoint(
+            eager=True
+        )
+        if top.count() > pool_size:
+            pool = top.orderBy(*order).limit(pool_size)
+        else:
+            pool = top
     elif joined.limit(pool_size + 1).count() > pool_size:
         pool = joined.orderBy(*order).limit(pool_size)
-        if pool_size <= 100_000:
-            # the cut pool is small and feeds 2-3 downstream jobs (rank
-            # agg + result, +fallback rank); materialize it once instead
-            # of re-running TakeOrdered over the full eligible set per
-            # job. Guarded: a 25x-batch pool of a 100k-host batch is
-            # millions of rows — those stay lazy.
-            pool = pool.localCheckpoint(eager=True)
     else:
         pool = joined
 
@@ -168,6 +188,17 @@ def select_batch_with_count(
         ranked = first_per_host.withColumn(
             "parent_rank",
             (F.col("queued_seq") - F.lit(int(stats["mn"]))).cast("long"),
+        )
+    elif total <= SINGLE_PARTITION_RANK_MAX:
+        # The candidate set is measured-small (one row per host, count
+        # known for free from the stats agg): a single-partition window
+        # sort of ``total`` rows costs milliseconds inside the result
+        # job, while the parallel dense rank pays three fixed-latency
+        # jobs (range-sample, checkpoint, offset collect). Same ranks —
+        # row_number over the same total order.
+        w = Window.orderBy(*order)
+        ranked = first_per_host.withColumn(
+            "parent_rank", (F.row_number().over(w) - 1).cast("long")
         )
     else:
         # Batch rank over one-row-per-host candidates (host-bounded):
