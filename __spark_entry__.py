@@ -23,6 +23,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition to the cluster parallelism before a fan-out UDF
+    stage. AQE coalesces post-shuffle partitions by INPUT bytes, so the
+    tiny URL/id frame feeding an image-generating or decoding UDF lands
+    on 1-2 tasks and the whole Python stage serializes (measured, guide
+    §2.5/§4): AQE cannot see that the opaque UDF's output is ~1000x its
+    input. The explicit hash repartition ships only the small proxy rows
+    (guide §8 "decide with small rows") and is parameterized by
+    defaultParallelism, not a local constant."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p, *cols)
+
+
+def _pin_before_sort(df: DataFrame) -> DataFrame:
+    """Materialize (lazily) before a global orderBy: Spark's range
+    partitioner runs a separate SAMPLING job over the sort's child, so
+    everything after the child's last exchange — here whole UDF
+    pipelines — is evaluated TWICE per query (measured: duplicate
+    cogroup/decode stages, guide §7.2 'duplicated subtrees'). The lazy
+    localCheckpoint computes the child once on the first job (the
+    sampler) and the sort shuffle re-reads the persisted blocks. Output
+    rows and ordering are unchanged; this is within-action
+    materialization, not cross-run caching."""
+    return df.localCheckpoint(eager=False)
+
+
 # --------------------------------------------------------------------- A ops
 
 
@@ -95,11 +121,14 @@ def q_a7_run_ok(spark, sf_dir):
 def q_j1_politeness_join(spark, sf_dir):
     """J1 (queue_db.py:395-406): broadcast equi-join + aggregate."""
     orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
+    # project the broadcast side to the two columns the join/agg use
+    # (guide §2.3 "project before the exchange"): the full customer row
+    # is ~7x wider than (c_custkey, c_mktsegment), and every byte of it
+    # would be collected to the driver and shipped to every executor
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        orders.join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey
-        )
+        orders.select("o_custkey", "o_totalprice")
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -133,18 +162,27 @@ def q_j2_seen_anti_join(spark, sf_dir):
 
 
 def q_j4_latest_by_key(spark, sf_dir):
-    """J4 (queue_db.py:626-668): most-recent row per key (W4 window)."""
+    """J4 (queue_db.py:626-668): most-recent row per key (W4).
+
+    Expressed as max-of-struct aggregation rather than a row_number
+    window: the window shuffles EVERY event row to its user's reducer
+    and sorts it there, while the aggregate combines map-side first
+    (partial HashAggregate) so the exchange carries one row per
+    (partition, user) — guide §2.3 "aggregate before you shuffle".
+    Equivalent by construction: max over struct(ts, event_id, ...) is
+    lexicographic, i.e. exactly the (ts DESC, event_id DESC) top-1, and
+    event_id is globally unique so the comparison never reaches the
+    trailing event_type field (the oracle's row_number form itself
+    requires that uniqueness to be deterministic)."""
     events = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
+    top = F.max(F.struct("ts", "event_id", "event_type")).alias("_top")
     return (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        events.groupBy("user_id")
+        .agg(top)
         .select(
             "user_id",
-            F.col("event_id").alias("latest_event_id"),
-            F.col("event_type").alias("latest_type"),
+            F.col("_top.event_id").alias("latest_event_id"),
+            F.col("_top.event_type").alias("latest_type"),
         )
     )
 
@@ -673,7 +711,7 @@ def q_j8_phash_near_dup(spark, sf_dir):
             (F.col("doc_id") / 8).cast("int").cast("string"),
         ).alias("url")
     ).distinct()
-    images = decode_and_phash(fetch_images(pages, "q", 42, 1))
+    images = decode_and_phash(fetch_images(_spread_by(pages, "url"), "q", 42, 1))
     pairs = near_dup_pairs(images)
     return (
         pairs.groupBy("hamming")
@@ -704,17 +742,18 @@ def q_m_image_features(spark, sf_dir):
             (F.col("doc_id") / 8).cast("int").cast("string"),
         ).alias("url")
     ).distinct()
-    small = image_resize(fetch_images(pages, "q", 42, 1), 16, 16)
+    small = image_resize(fetch_images(_spread_by(pages, "url"), "q", 42, 1), 16, 16)
     feat = small.withColumn(
         "f", image_features_udf()(F.col("bytes"), F.col("fmt"))
     )
-    return feat.select(
+    out = feat.select(
         "image_id",
         F.col("f.mean_luma").alias("mean_luma"),
         F.col("f.std_luma").alias("std_luma"),
         F.col("f.entropy").alias("entropy"),
         F.col("f.aspect").alias("aspect"),
-    ).orderBy("image_id")
+    )
+    return _pin_before_sort(out).orderBy("image_id")
 
 
 def q_m_video_frames(spark, sf_dir):
@@ -732,15 +771,16 @@ def q_m_video_frames(spark, sf_dir):
         F.concat(F.lit("vid-"), F.col("doc_id").cast("string")).alias("media_id"),
         F.encode("text", "UTF-8").alias("bytes"),
     )
-    frames = video_frame_sample(media, every_ms=1000, max_frames=8)
-    return frames.select(
+    frames = video_frame_sample(_spread_by(media, "media_id"), every_ms=1000, max_frames=8)
+    out = frames.select(
         "media_id",
         "frame_no",
         "t_ms",
         "w",
         "h",
         F.sha2(F.col("bytes"), 256).alias("frame_hash"),
-    ).orderBy("media_id", "frame_no")
+    )
+    return _pin_before_sort(out).orderBy("media_id", "frame_no")
 
 
 def q_m_audio_features(spark, sf_dir):
@@ -751,15 +791,18 @@ def q_m_audio_features(spark, sf_dir):
     from par_scrape_spark.operators.multimodal import audio_features_udf
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("bytes"))
+    media = _spread_by(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("bytes")), "doc_id"
+    )
     feat = media.withColumn("f", audio_features_udf()(F.col("bytes")))
-    return feat.select(
+    out = feat.select(
         "doc_id",
         F.col("f.duration_ms").alias("duration_ms"),
         F.col("f.rms").alias("rms"),
         F.col("f.zero_cross_rate").alias("zero_cross_rate"),
         F.col("f.peak").alias("peak"),
-    ).orderBy("doc_id")
+    )
+    return _pin_before_sort(out).orderBy("doc_id")
 
 
 def q_d_embed_near_dup(spark, sf_dir):
@@ -790,7 +833,7 @@ def q_d_embed_near_dup(spark, sf_dir):
     pairs = embed_near_dup_pairs(
         base.unionByName(planted), threshold=0.9
     )
-    return pairs.orderBy("id_a", "id_b")
+    return _pin_before_sort(pairs).orderBy("id_a", "id_b")
 
 
 def q_d_embed_near_dup_or3(spark, sf_dir):
@@ -816,7 +859,7 @@ def q_d_embed_near_dup_or3(spark, sf_dir):
     pairs = embed_near_dup_pairs(
         base.unionByName(planted), threshold=0.9, n_tables=3
     )
-    return pairs.orderBy("id_a", "id_b")
+    return _pin_before_sort(pairs).orderBy("id_a", "id_b")
 
 
 def q_d_embed_near_dup_indexed(spark, sf_dir):
@@ -861,7 +904,7 @@ def q_d_embed_near_dup_indexed(spark, sf_dir):
         with open(marker, "w") as f:
             f.write("ok\n")
     pairs = embed_near_dup_pairs_indexed(spark, idx, threshold=0.9)
-    return pairs.orderBy("id_a", "id_b")
+    return _pin_before_sort(pairs).orderBy("id_a", "id_b")
 
 
 def q_t_doc_fingerprint(spark, sf_dir):
@@ -876,16 +919,13 @@ def q_t_doc_fingerprint(spark, sf_dir):
     from par_scrape_spark.functions.text import spread_small_input
 
     docs = spread_small_input(_t(spark, sf_dir, "documents"))
-    return (
-        docs.select("doc_id", fingerprint_udf(F.col("text")).alias("f"))
-        .select(
-            "doc_id",
-            F.col("f.n_fp").alias("n_fp"),
-            F.col("f.fp_digest").alias("fp_digest"),
-            F.col("f.fp_min").alias("fp_min"),
-        )
-        .orderBy("doc_id")
+    out = docs.select("doc_id", fingerprint_udf(F.col("text")).alias("f")).select(
+        "doc_id",
+        F.col("f.n_fp").alias("n_fp"),
+        F.col("f.fp_digest").alias("fp_digest"),
+        F.col("f.fp_min").alias("fp_min"),
     )
+    return _pin_before_sort(out).orderBy("doc_id")
 
 
 def q_d_fp_overlap(spark, sf_dir):

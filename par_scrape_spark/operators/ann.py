@@ -267,6 +267,14 @@ def build_ann_index(
         )
     dim = int(head[0]["d"])
     planes = hyperplanes(dim, n_planes, seed)
+    # spread an under-partitioned source before the bucket UDF: a small
+    # parquet table arrives as 1-2 scan partitions and would serialize
+    # the Arrow kernel on as many cores; at scale the file count already
+    # exceeds the parallelism and this is a no-op (same discipline as
+    # functions/text.spread_small_input).
+    p = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < p:
+        embeddings = embeddings.repartition(p)
     indexed = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
@@ -274,9 +282,19 @@ def build_ann_index(
             "_bucket0"
         ].alias("bucket"),
     )
-    indexed.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(path)
+    # repartition to exactly 2^n_planes partitions keyed by bucket: still
+    # one file per bucket directory, but the write runs bucket-parallel.
+    # The keyless form repartition("bucket") inherits
+    # spark.sql.shuffle.partitions and AQE then coalesces the few-MB
+    # shuffle to 1-4 partitions, serializing the 2^n_planes parquet file
+    # creations onto a handful of tasks (measured: the write stage was
+    # 4 tasks x ~64 sequential file commits; guide §2.5/§6 small-files).
+    # Pinning the count to the bucket cardinality is scale-correct: at
+    # 10^10 vectors each of the 256 partitions is corpus/256 — exactly
+    # the per-directory file sizing the index wants.
+    indexed.repartition(1 << n_planes, "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
     # persist the data schema (metastore-style): query-time reads skip
     # the parquet footer inference job entirely. Hadoop FS write so the
     # sidecar lands next to the data on any filesystem.

@@ -601,6 +601,11 @@ def embed_near_dup_pairs(
             ),
         )
     dim = int(dim_row[0]["d"])
+    # spread an under-partitioned scan before the Arrow kernel (no-op at
+    # scale where the file count exceeds the parallelism)
+    p = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < p:
+        embeddings = embeddings.repartition(p)
     # one double-cast projection feeds BOTH the bucket planes and the
     # cosine, so the oracle's double arithmetic matches bit-for-bit;
     # one bucket column per OR-table (independent plane sets by seed)
@@ -626,11 +631,19 @@ def embed_near_dup_pairs(
         *[F.col(f"_bn._bucket{t}").alias(f"_bucket{t}") for t in range(n_tables)],
         F.col("_bn._n").alias("_n"),
     )
-    # exchange barrier: without it Catalyst would inline the UDF struct
-    # into every downstream reference (sizes agg, both join sides, each
-    # explode entry) and re-evaluate it per reference; with it both
-    # join sides reuse ONE exchange
-    base = base.repartition("_id")
+    # materialization barrier: without it Catalyst would inline the UDF
+    # struct into every downstream reference (sizes agg, both join
+    # sides, each explode entry) and re-evaluate it per reference. The
+    # former repartition("_id") exchange barrier only protected the two
+    # JOIN sides — the bucket-size agg's subtree planned its own copy of
+    # the scan+UDF pass (measured: a full duplicate Arrow stage per
+    # query). An eager localCheckpoint computes the kernel exactly once
+    # and every consumer reads the materialized blocks; it also removes
+    # the _id exchange outright — the blocks stay where the scan put
+    # them (no network at scale), and the only shuffle left is the
+    # probe==bucket join exchange (guide §2.4: remove shuffles, §5:
+    # localCheckpoint to cut lineage/duplication).
+    base = base.localCheckpoint(eager=True)
     return _bucketed_pairs(
         base, n_tables, n_planes, max_hamming, max_bucket, threshold
     )
@@ -814,6 +827,11 @@ def embed_near_dup_pairs_indexed(
     if schema_text is not None:  # skip the footer-inference job
         reader = reader.schema(T.StructType.fromJson(_json.loads(schema_text)))
     indexed = reader.option("basePath", base_path).parquet(base_path)
+    # spread an under-partitioned index scan before the norm kernel
+    # (no-op at scale where the bucket files exceed the parallelism)
+    p = spark.sparkContext.defaultParallelism
+    if indexed.rdd.getNumPartitions() < p:
+        indexed = indexed.repartition(p)
 
     from par_scrape_spark.operators.ann import bucket_norm_udf
 
@@ -827,9 +845,11 @@ def embed_near_dup_pairs_indexed(
     base = base.withColumn(
         "_n", bucket_norm_udf((), want_norm=True)(F.col("_v"))["_n"]
     )
-    # same exchange barrier as the recomputed path: the norm kernel
-    # would otherwise be re-inlined into both join sides and the explode
-    base = base.repartition("_id")
+    # same materialization barrier as the recomputed path: the norm
+    # kernel would otherwise be re-inlined into both join sides, the
+    # explode, and the bucket-size agg (which the old repartition("_id")
+    # exchange barrier did not cover — see embed_near_dup_pairs)
+    base = base.localCheckpoint(eager=True)
     return _bucketed_pairs(base, 1, n_planes, max_hamming, max_bucket, threshold)
 
 

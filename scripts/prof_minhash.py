@@ -1,0 +1,132 @@
+"""Stage-by-stage noop-sink profile of minhash_near_dup_pairs (guide §1.4).
+
+Usage: python scripts/prof_minhash.py [sf_dir]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from par_scrape_spark.session import get_spark
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/sfbig"
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+spark.conf.set("spark.sql.adaptive.enabled", "true")
+spark.range(1000).selectExpr("sum(id)").collect()
+
+
+def noop(df, tag):
+    spark.sparkContext.setJobDescription(tag)
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    print(f"{tag}: {dt:.2f}s")
+    return dt
+
+
+from par_scrape_spark.functions.text import (
+    N_BANDS,
+    N_PERM,
+    minhash_near_dup_pairs,
+    minhash_udf,
+    spread_small_input,
+)
+
+docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+# warm workers
+noop(docs, "warm_scan")
+noop(docs.select(minhash_udf(F.col("text")).alias("s")), "warm_udf")
+
+for rep in range(2):
+    t_all0 = time.time()
+
+    t0 = time.time()
+    sigs_all = spread_small_input(docs).select(
+        F.col("doc_id").alias("doc"),
+        F.sha2(F.col("text"), 256).alias("_th"),
+        minhash_udf(F.col("text")).alias("sig"),
+    )
+    noop(sigs_all, f"r{rep} 1-sigs_raw (udf pass only)")
+
+    w_rep = Window.partitionBy("_th").orderBy("doc")
+    sigs = (
+        sigs_all.withColumn("_rn", F.row_number().over(w_rep))
+        .filter((F.col("_rn") == 1) & F.col("sig").isNotNull())
+        .select("doc", "sig")
+        .cache()
+    )
+    noop(sigs, f"r{rep} 2-sigs_collapsed+cache")
+
+    rows_per_band = N_PERM // N_BANDS
+    bands = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_no", "band.band_key")
+    buckets = (
+        bands.groupBy("band_no", "band_key")
+        .agg(F.sort_array(F.collect_list("doc")).alias("_ds"))
+        .filter(F.size("_ds").between(2, 1000))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ds"), i + 2, F.size(F.col("_ds"))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+    )
+    pairs = (
+        buckets.select(pair.alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    noop(pairs, f"r{rep} 3-bands->pairs")
+
+    joined = pairs.join(
+        sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+    ).join(
+        sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(N_PERM))
+    )
+    result = (
+        joined.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+    noop(result, f"r{rep} 4-rejoin+est")
+
+    t0 = time.time()
+    r2 = result.localCheckpoint(eager=True)
+    print(f"r{rep} 5-localCheckpoint: {time.time()-t0:.2f}s")
+    sigs.unpersist()
+    print(f"r{rep} total-staged: {time.time()-t_all0:.2f}s")
+
+    t0 = time.time()
+    out = minhash_near_dup_pairs(docs, text_col="text", id_col="doc_id")
+    noop(out, f"r{rep} 6-full-operator (incl its own checkpoint)")
+    print(f"r{rep} full: {time.time()-t0:.2f}s")

@@ -1,0 +1,88 @@
+"""Run one queries() entry and dump per-stage metrics from the Spark
+REST API (guide §7.1 equivalent when no UI is attached).
+
+Usage: python scripts/prof_stages.py <query_name> [sf_dir]
+"""
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NAME = sys.argv[1]
+SF = sys.argv[2] if len(sys.argv) > 2 else "/root/sfbig"
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+import __spark_entry__ as entrymod
+import bench_extra
+from par_scrape_spark.session import get_spark
+from pyspark.sql import functions as _F
+from pyspark.sql.functions import pandas_udf as _pudf
+
+spark = get_spark(
+    app_name="prof_stages",
+    master=f"local[{CPUS}]",
+    shuffle_partitions=CPUS,
+    extra_conf={"spark.ui.enabled": "true"},
+)
+spark.conf.set("spark.sql.adaptive.enabled", "true")
+spark.range(1000).selectExpr("sum(id)").collect()
+
+
+@_pudf("double")
+def _warm(v):
+    import numpy  # noqa: F401
+    import pandas  # noqa: F401
+
+    return v * 1.0
+
+
+spark.range(CPUS * 64).repartition(CPUS * 2).select(
+    _warm(_F.col("id").cast("double"))
+).write.format("noop").mode("overwrite").save()
+qs = entrymod.queries()
+if NAME in ("d_embed_near_dup_indexed", "s_ann_topk"):
+    bench_extra.ensure_indexes(spark, entrymod, SF)
+
+# warm run
+qs[NAME](spark, SF).write.format("noop").mode("overwrite").save()
+
+ui = spark.sparkContext.uiWebUrl
+app_id = spark.sparkContext.applicationId
+
+
+def stages():
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages?status=complete") as r:
+        return json.loads(r.read())
+
+
+before_ids = {s["stageId"] for s in stages()}
+t0 = time.time()
+df = qs[NAME](spark, SF)
+df.write.format("noop").mode("overwrite").save()
+wall = time.time() - t0
+
+rows = []
+for s in stages():
+    if s["stageId"] in before_ids:
+        continue
+    rows.append(
+        (
+            s["stageId"],
+            s["numCompleteTasks"],
+            round(s["executorRunTime"] / 1000.0, 2),
+            s.get("shuffleReadBytes", 0),
+            s.get("shuffleWriteBytes", 0),
+            round(s.get("executorDeserializeTime", 0) / 1000.0, 2),
+            s["name"].split(" at ")[0][:40],
+            (s.get("description") or "")[:40],
+        )
+    )
+rows.sort()
+print(f"wall={wall:.2f}s  stages={len(rows)}")
+print(f"{'id':>4} {'tasks':>5} {'runT(s)':>8} {'shRead':>10} {'shWrite':>10} {'deser':>6}  name")
+for r in rows:
+    print(f"{r[0]:>4} {r[1]:>5} {r[2]:>8} {r[3]:>10} {r[4]:>10} {r[5]:>6}  {r[6]}  {r[7]}")
