@@ -77,3 +77,41 @@ def test_query_runs_and_matches_oracle(spark, ddb, name):
     b = _canon_rows(duck_cols, duck_rows)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_j4_agg_form_equals_window_form(spark):
+    """q_j4's max-of-struct aggregation must reproduce the row_number
+    window exactly, including same-ts ties broken by event_id (event_id
+    is unique, which both forms require for determinism)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (user_id, event_id, ts, event_type) — same-ts ties per user
+        (1, 10, 100, "a"), (1, 11, 100, "b"), (1, 9, 99, "c"),
+        (2, 20, 5, "x"), (2, 21, 7, "y"),
+        (3, 30, 1, "only"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = sorted(
+        (r["user_id"], r["event_id"], r["event_type"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    top = F.max(F.struct("ts", "event_id", "event_type")).alias("_top")
+    got = sorted(
+        (r["user_id"], r["latest_event_id"], r["latest_type"])
+        for r in df.groupBy("user_id")
+        .agg(top)
+        .select(
+            "user_id",
+            F.col("_top.event_id").alias("latest_event_id"),
+            F.col("_top.event_type").alias("latest_type"),
+        )
+        .collect()
+    )
+    assert got == want

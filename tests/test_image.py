@@ -72,3 +72,56 @@ def test_synthetic_page_images_decode_invariant():
             from par_scrape_spark.functions.image import encode_png
 
             assert encode_png(decoded) == row["bytes"]
+
+
+def test_png_decode_nonzero_filters_general_path():
+    """The filter-0 fast path added for the payload stage must not
+    regress the general decoder: PNGs hand-built with filters 1-4 (Sub,
+    Up, Average, Paeth) still decode to the exact pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from par_scrape_spark.functions.image import _PNG_SIG, _chunk, decode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+    h, w = img.shape
+    bpp = 1
+
+    def flt(ftype, row, prev):
+        cur = row.astype(np.int32)
+        out = np.zeros_like(cur)
+        for x in range(len(cur)):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ftype == 1:
+                out[x] = (row[x] - a) & 0xFF
+            elif ftype == 2:
+                out[x] = (row[x] - b) & 0xFF
+            elif ftype == 3:
+                out[x] = (row[x] - (a + b) // 2) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[x] = (row[x] - pred) & 0xFF
+        return out.astype(np.uint8)
+
+    for ftype in (1, 2, 3, 4):
+        raw = bytearray()
+        prev = np.zeros(w, dtype=np.int32)
+        for y in range(h):
+            raw += bytes([ftype]) + flt(ftype, img[y], prev).tobytes()
+            prev = img[y].astype(np.int32)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        data = (
+            _PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _chunk(b"IEND", b"")
+        )
+        back = decode_png(data)
+        assert (back == img).all(), f"filter {ftype} decode mismatch"
