@@ -22,8 +22,11 @@ Reference parity map (file:line):
                            ignored, errored rows reset to queued)
 - ``get_next_urls``      — queue_db.py:358 (politeness-gated batch)
 - ``mark_complete``      — queue_db.py:540
-- ``mark_error``         — queue_db.py:587 (message truncation F15,
-                           attempts bump)
+- ``mark_error``         — queue_db.py:587 (message truncation F15;
+                           attempts are NOT bumped here — the reference
+                           bumps attempts only at selection time in
+                           get_next_urls, queue_db.py:450-460, which the
+                           ``with_deltas`` selection delta mirrors)
 - ``set_crawl_delay``    — queue_db.py:469
 - ``increase_crawl_delay`` — queue_db.py:512 (min(cur*factor, cap))
 - ``check_robots_txt``   — robots.py:17 (fail-open, E3)
@@ -56,7 +59,12 @@ def get_url_output_folder(output_path: str, ticket_id: str, url: str) -> str:
     from urllib.parse import urlsplit
 
     parts = urlsplit(url)
-    host = (parts.netloc or "").split(":")[0].split("@")[-1]
+    # userinfo stripped BEFORE the port split (ADVICE r5: splitting on
+    # ':' first returned 'user' for user:pass@host URLs, diverging from
+    # the column twin's parse_url HOST); rpartition keeps the host's
+    # case exactly like parse_url HOST does (urlsplit().hostname would
+    # lowercase it and break scalar/column bit-parity)
+    host = (parts.netloc or "").rpartition("@")[2].split(":")[0]
     raw_path = re.sub(r"^/+|/+$", "", parts.path or "")
     sanitized = re.sub(r"/+", "__", raw_path)
     # '?' before any fragment ⇔ parse_url QUERY non-null (even when empty)
@@ -231,6 +239,14 @@ def get_next_urls(
         .withColumn("attempts", (F.col("attempts") + 1).cast("int"))
         .withColumn("last_processed_at", F.lit(tick).cast("long"))
     )
+    if not respect_rate_limits:
+        # reference parity (ADVICE r5): with rate limits disabled the
+        # reference's selection path never touches domain_rate_limit
+        # (queue_db.py:438-448) — no last_access advance, no host
+        # seeding; the politeness delta is empty
+        return urls, _align(f_delta), spark.createDataFrame(
+            [], POLITENESS_SCHEMA
+        )
     hosts = sorted({r["host"] for r in rows if r["host"] is not None})
     p_delta = (
         politeness.filter(F.col("host").isin(hosts))
@@ -297,7 +313,10 @@ def mark_complete(
             "file_refs": map_col,
             "scraped": F.lit(tick).cast("long"),
             "last_processed_at": F.lit(tick).cast("long"),
-            "cost": F.coalesce(F.col("cost"), F.lit(0.0)) + F.lit(float(cost)),
+            # replace, not accumulate — reference SET cost = ?
+            # (queue_db.py:540-584; ADVICE r5: a mark_error(0.1) then
+            # mark_complete(0.2) retry must yield 0.2, not 0.3)
+            "cost": F.lit(float(cost)),
         },
     )
 
@@ -324,8 +343,14 @@ def mark_error(
             "error_type": F.lit(str(etype)),
             "error_msg": F.lit(msg),
             "last_processed_at": F.lit(tick).cast("long"),
-            "attempts": (F.col("attempts") + 1).cast("int"),
-            "cost": F.coalesce(F.col("cost"), F.lit(0.0)) + F.lit(float(cost)),
+            # no attempts bump: the reference's mark_error UPDATE
+            # (queue_db.py:587-623) does not touch attempts — selection
+            # (get_next_urls with_deltas) owns attempt accounting; the
+            # former bump here double-counted per failed fetch, halving
+            # the attempts<scrape_retries retry budget (ADVICE r5)
+            # cost REPLACES like the reference's SET cost = ? —
+            # accumulation belongs to the engine's A5 rollup, not here
+            "cost": F.lit(float(cost)),
         },
     )
 
